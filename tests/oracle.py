@@ -1,0 +1,183 @@
+"""Golden-test oracle: run the reference PyTorch modules with the same
+weights as our flax modules and compare outputs.
+
+The reference repo (read-only, /root/reference) is imported as-is; none of
+its code lives in this repository. Weight *transplant* helpers below map
+torch state into our flax param pytrees (layout changes only).
+
+Torch layout: activations (B, C, T); conv weight (C_out, C_in/groups, K).
+Ours:         activations (B, T, C); conv kernel (K, C_in/groups, C_out).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+REFERENCE_PATH = "/root/reference"
+if REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def to_torch_btc(x_btc):
+    """(B, T, C) numpy -> torch (B, C, T)."""
+    import torch
+    return torch.from_numpy(np.ascontiguousarray(x_btc.transpose(0, 2, 1)))
+
+
+def from_torch_bct(t):
+    """torch (B, C, T) -> (B, T, C) numpy."""
+    return t2n(t).transpose(0, 2, 1)
+
+
+def to_torch_mask(mask_bt):
+    """(B, T) bool numpy -> torch (B, 1, T) bool."""
+    import torch
+    return torch.from_numpy(mask_bt[:, None, :].copy())
+
+
+# ---------------------------------------------------------------------------
+# per-module weight transplants (torch module -> flax params dict)
+# ---------------------------------------------------------------------------
+
+def conv_params(conv):
+    """torch nn.Conv1d -> MaskedConv1D/conv kernel params."""
+    p = {"kernel": t2n(conv.weight).transpose(2, 1, 0)}
+    if conv.bias is not None:
+        p["bias"] = t2n(conv.bias)
+    return p
+
+
+def dense_params(conv1x1):
+    """torch nn.Conv1d(k=1) or nn.Linear -> Dense params."""
+    w = t2n(conv1x1.weight)
+    if w.ndim == 3:
+        w = w[:, :, 0]
+    p = {"kernel": w.T}
+    if conv1x1.bias is not None:
+        p["bias"] = t2n(conv1x1.bias)
+    return p
+
+
+def ln_params(ln):
+    """reference LayerNorm (B,C,T) -> ChannelLayerNorm params."""
+    return {"weight": t2n(ln.weight).reshape(-1),
+            "bias": t2n(ln.bias).reshape(-1)}
+
+
+def masked_conv_params(mc):
+    return conv_params(mc.conv)
+
+
+def conv_mlp_params(m):
+    """reference ConvMLP -> our ConvMLP params."""
+    out = {}
+    for i, layer in enumerate(m.layers):
+        w = t2n(layer.weight)  # (C_out, C_in, K)
+        if w.shape[-1] == 1:
+            out[f"layers_{i}"] = {"kernel": w[:, :, 0].T,
+                                  "bias": t2n(layer.bias)}
+        else:
+            out[f"layers_{i}_kernel"] = w.transpose(2, 1, 0)
+            out[f"layers_{i}_bias"] = t2n(layer.bias)
+    return out
+
+
+def mha_params(m):
+    """MaskedMHA / MaskedMHA_QKV -> MHA params."""
+    return {"query": dense_params(m.query), "key": dense_params(m.key),
+            "value": dense_params(m.value), "proj": dense_params(m.proj)}
+
+
+def conv_mha_params(m):
+    """MaskedMHCA / LocalMaskedMHCA (and _QKV flavours) -> ConvMHA/LocalConvMHA."""
+    p = {
+        "preproc": {
+            "query_conv": masked_conv_params(m.query_conv),
+            "query_norm": ln_params(m.query_norm),
+            "key_conv": masked_conv_params(m.key_conv),
+            "key_norm": ln_params(m.key_norm),
+            "value_conv": masked_conv_params(m.value_conv),
+            "value_norm": ln_params(m.value_norm),
+        },
+        "query": dense_params(m.query),
+        "key": dense_params(m.key),
+        "value": dense_params(m.value),
+        "proj": dense_params(m.proj),
+    }
+    if getattr(m, "use_rel_pe", False):
+        # torch rel_pe (1, 1, H, W) -> (H, W)
+        p["rel_pe"] = t2n(m.rel_pe)[0, 0]
+    return p
+
+
+def local_mha_params(m):
+    p = mha_params(m)
+    if getattr(m, "use_rel_pe", False):
+        p["rel_pe"] = t2n(m.rel_pe)[0, 0]
+    return p
+
+
+def drop_path_params(m):
+    """AffineDropPath -> MaybeDropPath({AffineDropPath_0: scale})."""
+    return {"AffineDropPath_0": {"scale": t2n(m.scale).reshape(-1)}}
+
+
+def transformer_block_params(m):
+    """reference TransformerBlock -> our TransformerBlock params."""
+    from models.blocks import LocalMaskedMHCA  # reference import
+    attn = (conv_mha_params(m.attn) if isinstance(m.attn, LocalMaskedMHCA)
+            or hasattr(m.attn, "query_conv") else mha_params(m.attn))
+    p = {
+        "ln1": ln_params(m.ln1),
+        "ln2": ln_params(m.ln2),
+        "attn": attn,
+        "mlp_0": dense_params(m.mlp[0]),
+        "mlp_1": dense_params(m.mlp[3]),
+    }
+    import torch.nn as tnn
+    if not isinstance(m.drop_path_attn, tnn.Identity):
+        p["drop_path_attn"] = drop_path_params(m.drop_path_attn)
+        p["drop_path_mlp"] = drop_path_params(m.drop_path_mlp)
+    return p
+
+
+def _attn_params_any(m):
+    if hasattr(m, "query_conv"):
+        return conv_mha_params(m)
+    return local_mha_params(m)
+
+
+def decoder_layer_params(m):
+    """reference MaskedConvTransformerDecoderLayer -> DecoderLayer params."""
+    import torch.nn as tnn
+    p = {
+        "ln1": ln_params(m.ln1),
+        "ln2": ln_params(m.ln2),
+        "self_attn": _attn_params_any(m.self_attn),
+        "multihead_attn": _attn_params_any(m.multihead_attn),
+    }
+    if not isinstance(m.drop_path_attn1, tnn.Identity):
+        p["drop_path_attn1"] = drop_path_params(m.drop_path_attn1)
+        p["drop_path_attn2"] = drop_path_params(m.drop_path_attn2)
+    if m.with_ffn:
+        p["ln3"] = ln_params(m.ln3)
+        p["mlp_0"] = dense_params(m.mlp[0])
+        p["mlp_1"] = dense_params(m.mlp[3])
+        if not isinstance(m.drop_path_mlp, tnn.Identity):
+            p["drop_path_mlp"] = drop_path_params(m.drop_path_mlp)
+    return p
+
+
+def decoder_params(m, with_norm=True):
+    """reference MaskedConvTransformerDecoder -> Decoder params."""
+    p = {f"layers_{i}": decoder_layer_params(layer)
+         for i, layer in enumerate(m.layers)}
+    if with_norm and m.norm is not None:
+        p["norm"] = ln_params(m.norm)
+    return p

@@ -1,0 +1,268 @@
+"""Masked 1-D sequence ops (functional core).
+
+TPU-native building blocks for variable-length temporal sequences that were
+padded to a static length. Everything here is shape-static and jit/pjit
+friendly; raggedness is expressed as a boolean validity mask ``(B, T)``.
+
+Layout convention: activations are time-major ``(B, T, C)`` — channels last
+so that the C dimension lands on TPU lanes and all projections are plain
+``(B*T, C) @ (C, C')`` matmuls on the MXU. (The reference stack uses
+``(B, C, T)`` torch conv layout; see e.g. reference models/blocks.py:63-158.)
+
+Semantics parity notes (kept deliberately identical to the reference):
+  * convolutions do NOT pre-mask their input; they convolve the padded
+    input and mask the *output* (reference models/blocks.py:91-113). Invalid
+    frames can therefore leak into the k//2 neighbouring valid frames —
+    this is reference behaviour and checkpoint-parity requires it.
+  * mask downsampling is "nearest": ``mask[:, ::stride]``
+    (reference models/blocks.py:101-105 uses F.interpolate(mode='nearest')).
+  * channel LayerNorm uses a biased variance estimate with eps *inside*
+    the sqrt (reference models/blocks.py:143-158).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# convolution
+# ---------------------------------------------------------------------------
+
+def conv1d(x: Array, weight: Array, bias: Array | None = None, *,
+           stride: int = 1, groups: int = 1) -> Array:
+    """1-D convolution over (B, T, C) with 'same'-style odd-kernel padding.
+
+    weight: (K, C_in // groups, C_out)   bias: (C_out,) or None
+    Padding is fixed to K // 2 per side (the only mode the reference uses,
+    models/blocks.py:82).
+    """
+    k = weight.shape[0]
+    pad = k // 2
+    out = lax.conv_general_dilated(
+        x, weight,
+        window_strides=(stride,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def downsample_mask(mask: Array, stride: int, out_len: int) -> Array:
+    """Nearest-neighbour mask downsample: out[i] = mask[i * stride]."""
+    if stride == 1:
+        return mask[:, :out_len]
+    return mask[:, ::stride][:, :out_len]
+
+
+def masked_conv1d(x: Array, mask: Array, weight: Array,
+                  bias: Array | None = None, *, stride: int = 1,
+                  groups: int = 1) -> tuple[Array, Array]:
+    """Mask-preserving conv1d (reference MaskedConv1D, models/blocks.py:63).
+
+    x: (B, T, C_in), mask: (B, T) bool. Returns (out, out_mask) where the
+    output is zeroed at invalid positions and the mask was nearest-downsampled
+    when stride > 1.
+    """
+    out = conv1d(x, weight, bias, stride=stride, groups=groups)
+    out_mask = downsample_mask(mask, stride, out.shape[1])
+    out = out * out_mask[..., None].astype(out.dtype)
+    return out, out_mask
+
+
+def max_pool1d(x: Array, *, kernel: int, stride: int, padding: int) -> Array:
+    """Max pool over time matching torch.nn.MaxPool1d (pads with -inf)."""
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, kernel, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalisation
+# ---------------------------------------------------------------------------
+
+def channel_layernorm(x: Array, weight: Array | None, bias: Array | None,
+                      eps: float = 1e-5) -> Array:
+    """LayerNorm over the channel axis of (B, T, C).
+
+    Matches reference models/blocks.py:116-158: biased variance, eps inside
+    sqrt, affine params broadcast over (B, T).
+    """
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    res = x - mu
+    sigma = jnp.mean(res * res, axis=-1, keepdims=True)
+    out = res * lax.rsqrt(sigma + eps)
+    if weight is not None:
+        out = out * weight
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# attention cores
+# ---------------------------------------------------------------------------
+
+def _split_heads(x: Array, n_head: int) -> Array:
+    """(B, T, C) -> (B, H, T, C/H)."""
+    b, t, c = x.shape
+    # reference reshapes (B, nh*hs, T) as view(B, nh, hs, T): head-major
+    # channel split, so channels [h*hs:(h+1)*hs] belong to head h.
+    return x.reshape(b, t, n_head, c // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: Array) -> Array:
+    """(B, H, T, D) -> (B, T, H*D)."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def full_attention(q: Array, k: Array, v: Array, kv_mask: Array,
+                   *, n_head: int) -> Array:
+    """Dense masked attention over (B, T, C) streams.
+
+    kv_mask: (B, Tk) bool. Invalid keys get -inf scores; values are zeroed at
+    invalid positions before the PV product (reference models/blocks.py:229-236).
+    Output is NOT masked by the query mask here — callers multiply by the
+    query mask after the output projection, as the reference does.
+    """
+    d = q.shape[-1] // n_head
+    scale = 1.0 / np.sqrt(d)
+    qh = _split_heads(q, n_head)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+    att = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+                     preferred_element_type=jnp.float32)
+    neg_inf = jnp.asarray(-jnp.inf, att.dtype)
+    att = jnp.where(kv_mask[:, None, None, :], att, neg_inf)
+    att = jax.nn.softmax(att, axis=-1)
+    att = att.astype(vh.dtype)
+    vh = vh * kv_mask[:, None, :, None].astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
+    return _merge_heads(out)
+
+
+def band_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
+                   n_head: int, window_size: int,
+                   rel_pe: Array | None = None) -> Array:
+    """Sliding-window (Longformer-band) attention, dense formulation.
+
+    Each query position i attends to key positions j with |i - j| <= w where
+    w = window_size // 2. Semantics mirror the reference chunked Longformer
+    implementation (models/blocks.py:362-654):
+
+      * out-of-band or out-of-sequence positions: score = -inf
+      * in-band but mask-invalid keys: score += -1e4   (NOT -inf)
+      * rows whose *query* position is mask-invalid are zeroed post-softmax
+      * values are not pre-masked (the -1e4 already suppresses them)
+
+    For the sequence lengths this model runs at (T <= a few thousand) the
+    dense band-masked form is faster on TPU than chunk gathering: the full
+    T x T score matrix tiles straight onto the MXU and XLA fuses the mask.
+    The Pallas kernel in vrdone_tpu/ops/pallas is used for long sequences.
+
+    q is expected unscaled; scaling by 1/sqrt(d) happens here.
+    kv_mask: (B, T) bool validity of the (already stride-aligned) kv stream.
+    rel_pe: optional (H, window_size) == (H, 2w+1) relative position bias.
+    """
+    b, t, c = q.shape
+    w = window_size // 2
+    d = c // n_head
+    scale = 1.0 / np.sqrt(d)
+
+    qh = _split_heads(q, n_head)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+
+    att = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+                     preferred_element_type=jnp.float32)
+
+    idx = jnp.arange(t)
+    relpos = idx[None, :] - idx[:, None]           # (Tq, Tk): j - i
+    in_band = jnp.abs(relpos) <= w                 # (T, T)
+
+    if rel_pe is not None:
+        # rel_pe[h, j - i + w] added inside the band
+        pe_idx = jnp.clip(relpos + w, 0, window_size - 1)
+        att = att + rel_pe[:, pe_idx][None]        # (1,H,T,T) broadcast
+
+    kv_invalid = jnp.logical_not(kv_mask)          # (B, Tk)
+    att = att + (-1e4) * kv_invalid[:, None, None, :].astype(att.dtype)
+    neg_inf = jnp.asarray(-jnp.inf, att.dtype)
+    att = jnp.where(in_band[None, None], att, neg_inf)
+
+    att = jax.nn.softmax(att, axis=-1)
+    # zero rows whose query position is invalid (reference blocks.py:641-643,
+    # 976-978 — note it uses the *kv* mask indexed at the query position,
+    # which matches because q and kv are downsampled by the same stride)
+    att = att * kv_mask[:, None, :, None].astype(att.dtype)
+    att = att.astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
+    return _merge_heads(out)
+
+
+# ---------------------------------------------------------------------------
+# position encodings
+# ---------------------------------------------------------------------------
+
+def sinusoid_encoding(n_position: int, d_hid: int) -> np.ndarray:
+    """Sinusoid PE table, (n_position, d_hid) float32.
+
+    Same table as reference models/blocks.py:162-173 (interleaved sin/cos,
+    10000^(2*(j//2)/d) frequencies). Returned as numpy so it can be baked
+    into params/constants at trace time.
+    """
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    j = np.arange(d_hid, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2.0 * (j // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table.astype(np.float32)
+
+
+def resize_pe_linear(pe: Array, new_len: int) -> Array:
+    """Linear re-interpolation of a (T, C) PE table to (new_len, C).
+
+    Matches torch F.interpolate(mode='linear', align_corners=False) used at
+    inference for over-length sequences (reference models/backbones.py:188-196):
+    src = (dst + 0.5) * T/new_len - 0.5, clamped, linear blend.
+    """
+    t = pe.shape[0]
+    scale = t / new_len
+    dst = jnp.arange(new_len, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, t - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    frac = (src - lo.astype(jnp.float32))[:, None]
+    return pe[lo] * (1.0 - frac) + pe[hi] * frac
+
+
+# ---------------------------------------------------------------------------
+# stochastic depth
+# ---------------------------------------------------------------------------
+
+def drop_path(x: Array, rng: jax.Array | None, drop_prob: float,
+              deterministic: bool) -> Array:
+    """Per-sample stochastic depth (reference models/blocks.py:1107-1120)."""
+    if deterministic or drop_prob == 0.0:
+        return x
+    keep = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=x.dtype))
+    return x / keep * mask
