@@ -181,3 +181,82 @@ def decoder_params(m, with_norm=True):
     if with_norm and m.norm is not None:
         p["norm"] = ln_params(m.norm)
     return p
+
+
+# ---------------------------------------------------------------------------
+# full-model transplants
+# ---------------------------------------------------------------------------
+
+def backbone_params(m):
+    """reference MaskConvTransformerBackbone(+WithCLIP) -> SOSBackbone params."""
+    p = {}
+    for i, (conv, norm) in enumerate(zip(m.visual_embd, m.visual_embd_norm)):
+        p[f"visual_embd_{i}"] = masked_conv_params(conv)
+        if hasattr(norm, "weight"):
+            p[f"visual_embd_norm_{i}"] = ln_params(norm)
+    if hasattr(m, "clip_embd"):
+        for i, (conv, norm) in enumerate(zip(m.clip_embd, m.clip_embd_norm)):
+            p[f"clip_embd_{i}"] = masked_conv_params(conv)
+            if hasattr(norm, "weight"):
+                p[f"clip_embd_norm_{i}"] = ln_params(norm)
+        p["visual_clip_fuse"] = conv_mlp_params(m.visual_clip_fuse)
+    p["bbox_entity_embd"] = masked_conv_params(m.bbox_entity_embd)
+    if hasattr(m.bbox_entity_norm, "weight"):
+        p["bbox_entity_norm"] = ln_params(m.bbox_entity_norm)
+    p["visual_bbox_fuse"] = conv_mlp_params(m.visual_bbox_fuse)
+    for i, blk in enumerate(m.stem):
+        p[f"stem_{i}"] = transformer_block_params(blk)
+    for i, blk in enumerate(m.s_attn):
+        p[f"s_attn_{i}"] = decoder_layer_params(blk)
+    for i, blk in enumerate(m.o_attn):
+        p[f"o_attn_{i}"] = decoder_layer_params(blk)
+    p["s_fuse_norm"] = ln_params(m.s_fuse_norm)
+    p["o_fuse_norm"] = ln_params(m.o_fuse_norm)
+    p["so_fuse"] = conv_mlp_params(m.so_fuse)
+    p["bbox_so_embd"] = masked_conv_params(m.bbox_so_embd)
+    p["so_visual_bbox_fuse"] = conv_mlp_params(m.so_visual_bbox_fuse)
+    for i, blk in enumerate(m.branch):
+        p[f"branch_{i}"] = transformer_block_params(blk)
+    return p
+
+
+def fpn_params(m):
+    """reference FPN1D_Fuse -> FPN1DFuse params."""
+    import torch.nn as tnn
+    p = {}
+    n = len(m.fpn_convs)
+    for pos in range(n):
+        if not isinstance(m.input_norms[pos], tnn.Identity):
+            p[f"input_norm_{pos}"] = ln_params(m.input_norms[pos])
+        if m.lateral_convs[pos] is not None:
+            p[f"lateral_conv_{pos}"] = masked_conv_params(m.lateral_convs[pos])
+            if not isinstance(m.lateral_norms[pos], tnn.Identity):
+                p[f"lateral_norm_{pos}"] = ln_params(m.lateral_norms[pos])
+        p[f"fpn_conv_{pos}"] = masked_conv_params(m.fpn_convs[pos])
+        if not isinstance(m.fpn_norms[pos], tnn.Identity):
+            p[f"fpn_norm_{pos}"] = ln_params(m.fpn_norms[pos])
+    p["mask_features"] = masked_conv_params(m.mask_features)
+    return p
+
+
+def predictor_params(m):
+    """reference MaskedTransformerPredictor -> MaskedTransformerPredictor."""
+    p = {
+        "input_norm": ln_params(m.input_norm),
+        "query_embed": t2n(m.query_embed.weight),
+        "class_embed": dense_params(m.class_embed),
+        "mask_embed": conv_mlp_params(m.mask_embed),
+        "transformer": {"decoder": decoder_params(m.transformer.decoder)},
+    }
+    if m.input_proj is not None:
+        p["input_proj"] = dense_params(m.input_proj)
+    return p
+
+
+def maskvrd_params(m):
+    """reference MaskVRD -> our MaskVRD params pytree."""
+    return {
+        "backbone": backbone_params(m.backbone),
+        "neck": fpn_params(m.neck),
+        "predictor": predictor_params(m.predictor),
+    }

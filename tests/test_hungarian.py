@@ -1,0 +1,63 @@
+"""Hungarian matcher vs scipy.optimize.linear_sum_assignment."""
+
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+import jax
+import jax.numpy as jnp
+
+from vrdone_tpu.ops.hungarian import hungarian_square, match_padded, batched_match
+
+
+@pytest.mark.parametrize("n,seed", [(2, 0), (5, 1), (9, 2), (10, 3), (16, 4)])
+def test_square_matches_scipy(n, seed):
+    rng = np.random.default_rng(seed)
+    for trial in range(20):
+        cost = rng.standard_normal((n, n)).astype(np.float32) * 10
+        row_for_col = np.asarray(hungarian_square(jnp.asarray(cost)))
+        rows, cols = linear_sum_assignment(cost)
+        ours = cost[row_for_col, np.arange(n)].sum()
+        theirs = cost[rows, cols].sum()
+        # optimal value must match (assignment itself may differ on ties)
+        assert abs(ours - theirs) < 1e-3, (trial, ours, theirs)
+        # must be a permutation
+        assert sorted(row_for_col.tolist()) == list(range(n))
+
+
+def test_rectangular_padded_matches_scipy():
+    rng = np.random.default_rng(7)
+    q, gmax = 9, 9
+    for trial in range(20):
+        g = rng.integers(1, gmax + 1)
+        cost_full = rng.standard_normal((q, gmax)).astype(np.float32) * 5
+        valid = np.zeros(gmax, bool)
+        valid[:g] = True
+        row_for_col, matched = match_padded(jnp.asarray(cost_full),
+                                            jnp.asarray(valid))
+        row_for_col = np.asarray(row_for_col)
+        rows, cols = linear_sum_assignment(cost_full[:, :g])
+        ours = cost_full[row_for_col[:g], np.arange(g)].sum()
+        theirs = cost_full[rows, cols].sum()
+        assert abs(ours - theirs) < 1e-3
+        # matched rows must be distinct
+        assert len(set(row_for_col[:g].tolist())) == g
+
+
+def test_batched_jit():
+    rng = np.random.default_rng(11)
+    b, q, g = 8, 9, 9
+    cost = rng.standard_normal((b, q, g)).astype(np.float32)
+    valid = rng.random((b, g)) < 0.7
+    valid[:, 0] = True
+    fn = jax.jit(batched_match)
+    row_for_col, matched = fn(jnp.asarray(cost), jnp.asarray(valid))
+    row_for_col = np.asarray(row_for_col)
+    for i in range(b):
+        gi = int(valid[i].sum())
+        sub = cost[i][:, valid[i]]
+        rows, cols = linear_sum_assignment(sub)
+        theirs = sub[rows, cols].sum()
+        ours = cost[i][row_for_col[i][valid[i]],
+                       np.arange(g)[valid[i]]].sum()
+        assert abs(ours - theirs) < 1e-3, i
