@@ -1,0 +1,187 @@
+"""Synthetic VidVRD-format corpus generator for dataset golden tests.
+
+Writes annotation JSONs, MEGA-style GT feature pickles, and BIG-style
+proposal pickles in the exact on-disk formats both the reference dataloaders
+and ours consume, so the two can be compared end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+VIS_DIM = 8
+
+
+def _bbox(rng, w, h):
+    x0 = float(rng.uniform(0, w - 20))
+    y0 = float(rng.uniform(0, h - 20))
+    x1 = float(x0 + rng.uniform(8, w - x0 - 1))
+    y1 = float(y0 + rng.uniform(8, h - y0 - 1))
+    return {"xmin": x0, "ymin": y0, "xmax": min(x1, w - 1),
+            "ymax": min(y1, h - 1)}
+
+
+def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
+                       seed: int = 0, categories=("dog", "person", "car"),
+                       predicates=("walk_next_to", "chase", "watch")):
+    rng = np.random.default_rng(seed)
+    ann_dir = os.path.join(root, "annotations", "train")
+    feat_dir = os.path.join(root, "features", "GT_boxfeatures_training")
+    os.makedirs(ann_dir, exist_ok=True)
+    os.makedirs(feat_dir, exist_ok=True)
+
+    for v in range(n_videos):
+        name = f"synth_{v:04d}"
+        w, h = 320, 240
+        n_tracks = int(rng.integers(2, 4))
+        # each track lives on 1-2 contiguous intervals
+        track_frames = {}
+        for tid in range(n_tracks):
+            s1 = int(rng.integers(0, 5))
+            e1 = int(rng.integers(s1 + 10, min(s1 + 25, n_frames)))
+            frames = set(range(s1, e1))
+            if rng.random() < 0.5 and e1 + 3 < n_frames - 4:
+                s2 = e1 + 3
+                e2 = int(rng.integers(s2 + 3, n_frames))
+                frames |= set(range(s2, e2))
+            track_frames[tid] = sorted(frames)
+
+        trajectories = []
+        for f in range(n_frames):
+            frame = []
+            for tid in range(n_tracks):
+                if f in track_frames[tid]:
+                    frame.append({"tid": tid, "bbox": _bbox(rng, w, h)})
+            trajectories.append(frame)
+
+        # relations on overlapping track intervals
+        relations = []
+        for _ in range(int(rng.integers(2, 6))):
+            s_tid, o_tid = rng.choice(n_tracks, size=2, replace=False)
+            common = sorted(set(track_frames[int(s_tid)])
+                            & set(track_frames[int(o_tid)]))
+            if len(common) < 6:
+                continue
+            # pick a contiguous run inside the common support
+            runs, cur = [], [common[0]]
+            for f in common[1:]:
+                if f == cur[-1] + 1:
+                    cur.append(f)
+                else:
+                    runs.append(cur)
+                    cur = [f]
+            runs.append(cur)
+            run = runs[int(rng.integers(0, len(runs)))]
+            if len(run) < 6:
+                continue
+            bf = int(run[0] + rng.integers(0, max(1, len(run) // 3)))
+            ef = int(bf + rng.integers(4, len(run) - (bf - run[0]) + 1))
+            relations.append({
+                "subject_tid": int(s_tid),
+                "object_tid": int(o_tid),
+                "predicate": str(rng.choice(predicates)),
+                "begin_fid": bf,
+                "end_fid": ef,
+            })
+
+        anno = {
+            "video_id": name,
+            "height": h,
+            "width": w,
+            "frame_count": n_frames,
+            "subject/objects": [
+                {"tid": tid, "category": str(categories[tid % len(categories)])}
+                for tid in range(n_tracks)],
+            "trajectories": trajectories,
+            "relation_instances": relations,
+        }
+        with open(os.path.join(ann_dir, name + ".json"), "w") as f:
+            json.dump(anno, f)
+
+        # MEGA-style per-frame GT features (frame ids are 1-based)
+        feats = {}
+        for f in range(n_frames):
+            tids = [t["tid"] for t in trajectories[f]]
+            if not tids:
+                continue
+            feats[f + 1] = {
+                "frame_id": f + 1,
+                "tids": np.asarray(tids, np.int64),
+                "visual_features": rng.standard_normal(
+                    (len(tids), VIS_DIM)).astype(np.float32),
+            }
+        with open(os.path.join(feat_dir, name + ".pkl"), "wb") as f:
+            pickle.dump(feats, f)
+
+    return {
+        "ann_dir": os.path.join(root, "annotations"),
+        "gt_boxfeatures_dir": feat_dir,
+    }
+
+
+def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1):
+    """BIG-style proposal pickles + MEGA test feature pickles (torch tensors,
+    as the reference writes them)."""
+    import torch
+    rng = np.random.default_rng(seed)
+    ann_dir = os.path.join(root, "annotations", "test")
+    info_dir = os.path.join(root, "features", "per_video_val")
+    feat_dir = os.path.join(root, "features", "Proposal_boxfeatures_test")
+    os.makedirs(ann_dir, exist_ok=True)
+    os.makedirs(info_dir, exist_ok=True)
+    os.makedirs(feat_dir, exist_ok=True)
+
+    for v in range(n_videos):
+        name = f"synthtest_{v:04d}"
+        w, h = 320, 240
+        with open(os.path.join(ann_dir, name + ".json"), "w") as f:
+            json.dump({"video_id": name}, f)
+        n_prop = int(rng.integers(3, 6))
+        durations, bboxes, cat_ids = [], [], []
+        video_len = 40
+        for p in range(n_prop):
+            s = int(rng.integers(0, 15))
+            e = int(rng.integers(s + 8, min(s + 30, video_len)))
+            durations.append([s, e - 1])  # stored closed; loader adds +1
+            boxes = []
+            for _ in range(e - s):
+                bb = _bbox(rng, w, h)
+                boxes.append([bb["xmin"], bb["ymin"], bb["xmax"], bb["ymax"]])
+            bboxes.append(torch.tensor(boxes, dtype=torch.float32))
+            cat_ids.append(int(rng.integers(1, 4)))
+        proposal = {
+            "MAX_PROPOSAL": 50,
+            "video_name": name,
+            "cat_ids": torch.tensor(cat_ids, dtype=torch.int64),
+            "scores": torch.rand(n_prop),
+            "bboxes_list": bboxes,
+            "traj_durations": torch.tensor(durations, dtype=torch.int64),
+            "features_list": [torch.randn(len(b), VIS_DIM) for b in bboxes],
+            "num_proposals": n_prop,
+            "dim_feat": VIS_DIM,
+            "video_len": video_len,
+            "video_wh": (w, h),
+        }
+        with open(os.path.join(info_dir, name + ".pkl"), "wb") as f:
+            pickle.dump({"traj_proposal": proposal}, f)
+
+        feats = {}
+        for fid in range(video_len):
+            tids = [p for p in range(n_prop)
+                    if durations[p][0] <= fid <= durations[p][1]]
+            if not tids:
+                continue
+            feats[fid] = {
+                "frame_id": fid,
+                "tids": np.asarray(tids, np.int64),
+                "visual_features": rng.standard_normal(
+                    (len(tids), VIS_DIM)).astype(np.float32),
+            }
+        with open(os.path.join(feat_dir, name + ".pkl"), "wb") as f:
+            pickle.dump(feats, f)
+
+    return {"info_dir": info_dir, "test_boxfeatures_dir": feat_dir}

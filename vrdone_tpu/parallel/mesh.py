@@ -1,0 +1,43 @@
+"""Device mesh and sharding layout.
+
+The reference parallelises with DDP over NCCL (reference train.py:52-57,
+103-108) — pure data parallelism. TPU-native equivalent: one jax.sharding
+Mesh with a leading "dp" axis; batches are sharded on "dp", parameters are
+replicated, and XLA inserts the gradient all-reduce (psum over ICI) when the
+loss is differentiated under jit. A "tp" axis is exposed for future
+tensor-parallel sharding of the einsum-heavy heads — the model is small
+enough that dp-only is the production layout, but the train step accepts any
+mesh whose batch axis is named "dp".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: int | None = None, n_tp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_dp is None:
+        n_dp = len(devices) // n_tp
+    assert n_dp * n_tp <= len(devices), (n_dp, n_tp, len(devices))
+    arr = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch dim sharded over dp, everything else replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

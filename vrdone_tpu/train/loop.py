@@ -1,0 +1,92 @@
+"""Training state and the jitted train step.
+
+One fused XLA program per step: forward (incl. on-device Hungarian
+matching), backward, global-norm clip, AdamW update, EMA — no host syncs.
+Replaces the reference epoch loop body (reference train.py:175-213) where
+matching bounced through scipy on the CPU every step.
+
+Data parallelism: the step is jitted with the batch sharded over the mesh's
+"dp" axis and params replicated; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..models.maskvrd import MaskVRD, compute_losses
+from . import optim
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_decay: float = struct.field(pytree_node=False, default=0.999)
+
+
+def create_train_state(cfg: ModelConfig, training_config: dict,
+                       num_iters_per_epoch: int, rng: jax.Array,
+                       sample_batch: dict) -> tuple[TrainState, Any]:
+    model = MaskVRD(cfg)
+    params = model.init(
+        {"params": rng},
+        sample_batch["feats"], sample_batch["seq_mask"],
+        deterministic=True)["params"]
+    tx, schedule = optim.build_optimizer(params, training_config,
+                                         num_iters_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),  # distinct buffers: the
+        # step donates its input state, params and ema must not alias
+        opt_state=tx.init(params),
+        tx=tx)
+    return state, schedule
+
+
+def train_step(state: TrainState, batch: dict, rng: jax.Array,
+               cfg: ModelConfig) -> tuple[TrainState, dict]:
+    """One optimization step. batch: see models/maskvrd.py contract."""
+    model = MaskVRD(cfg)
+    step_rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(params):
+        preds = model.apply(
+            {"params": params}, batch["feats"], batch["seq_mask"],
+            deterministic=False,
+            rngs={"droppath": step_rng, "dropout": step_rng})
+        losses = compute_losses(cfg, preds, batch)
+        return losses["total_loss"], losses
+
+    grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = optim.ema_update(state.ema_params, params, state.ema_decay)
+    new_state = state.replace(step=state.step + 1, params=params,
+                              ema_params=ema, opt_state=opt_state)
+    return new_state, losses
+
+
+def make_jitted_train_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
+    """jit train_step; with a mesh, shard the batch over "dp" and replicate
+    state (grad all-reduce is inserted by XLA)."""
+    step_fn = functools.partial(train_step, cfg=cfg)
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
