@@ -1,0 +1,152 @@
+"""Evaluate a VrdONE-TPU relation detector.
+
+TPU-native counterpart of the reference eval entry (reference
+eval.py:41-195): multi-checkpoint sweep, EMA weights, per-video bucketed
+inference, helper-format scoring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import defaultdict
+
+import jax
+
+from vrdone_tpu.config import (InferenceConfig, load_yaml_config,
+                               model_config_from_yaml)
+from vrdone_tpu.data.datasets import VidORDataset, VidVRDDataset
+from vrdone_tpu.eval.convert import build_groundtruth, to_eval_format
+from vrdone_tpu.eval.decode import InferenceRunner, infer_video
+from vrdone_tpu.eval.metrics import relation_metrics
+from vrdone_tpu.models.maskvrd import MaskVRD
+from vrdone_tpu.train.checkpoint import restore_params_for_eval
+from vrdone_tpu.utils.logging import setup_logger
+
+METRIC_KEYS = ["RelDet_mAP", "RelDet_AR@50", "RelDet_AR@100",
+               "RelTag_AP@1", "RelTag_AP@5", "RelTag_AP@10"]
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a Video Relation Detector")
+    p.add_argument("--data_name", type=str, choices=["vidor", "vidvrd"])
+    p.add_argument("--cfg_path", type=str, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--exp_dir", type=str, required=True)
+    p.add_argument("--ckpt_path", type=str)
+    p.add_argument("--eval_exp_dir", default=False, action="store_true")
+    p.add_argument("--scale", default=None, type=int)
+    p.add_argument("--eval_start_epoch", type=int, default=3)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--eval_file_name", type=str, default="eval")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--save_result", default=False, action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    config = load_yaml_config(args.cfg_path)
+    if args.epochs is not None:
+        config["training_config"]["training_epoch"] = args.epochs
+    config["training_config"]["eval_start_epoch"] = args.eval_start_epoch
+    config["inference_config"]["topk"] = args.topk
+    config["dataset_config"].update(config["test_dataset_config"])
+    model_cfg = model_config_from_yaml(config)
+    ic = config["inference_config"]
+    infer_cfg = InferenceConfig(
+        topk=ic["topk"], feat_stride=ic["feat_stride"],
+        pred_min_frames=ic["pred_min_frames"], n_max_pair=ic["n_max_pair"],
+        viou_th=ic["viou_th"], max_so_pair=model_cfg.max_so_pair)
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    logger = setup_logger("Test", os.path.join(args.exp_dir, "logfile"),
+                          filename=args.eval_file_name + "_log.json")
+    logger.info(f"JAX {jax.__version__}, devices: {jax.devices()}")
+
+    if args.data_name == "vidor":
+        dataset = VidORDataset(config["dataset_config"], args.scale)
+    else:
+        dataset = VidVRDDataset(config["dataset_config"])
+
+    # ground truth (built directly from annotations; cached as json)
+    gt_path = config["prepare_gt_config"]["gt_relations_path"]
+    if gt_path and os.path.exists(gt_path):
+        logger.info(f"Loading GT from {gt_path}")
+        with open(gt_path) as f:
+            gt_relations = json.load(f)
+    else:
+        logger.info("Building GT from annotations...")
+        gt_relations = build_groundtruth(
+            config["dataset_config"]["ann_dir"], dataset.split,
+            args.data_name)
+        if gt_path:
+            os.makedirs(os.path.dirname(gt_path) or ".", exist_ok=True)
+            with open(gt_path, "w") as f:
+                json.dump(gt_relations, f)
+
+    ckpt_paths = []
+    if args.eval_exp_dir:
+        tc = config["training_config"]
+        for epoch in range(args.eval_start_epoch - 1, tc["training_epoch"],
+                           tc.get("save_interval", 1)):
+            ckpt_paths.append(os.path.join(
+                args.exp_dir, f"model_epoch_{epoch + 1}_{args.data_name}.ckpt"))
+    else:
+        assert args.ckpt_path
+        ckpt_paths.append(args.ckpt_path)
+
+    c = 2 * model_cfg.visual_dim + model_cfg.bbox_so_dim \
+        + 2 * model_cfg.bbox_entity_dim
+    if model_cfg.with_clip_feature:
+        c += 2 * model_cfg.clip_dim
+
+    all_results = defaultdict(list)
+    for ckpt_idx, ckpt_path in enumerate(ckpt_paths):
+        logger.info(f"Loading checkpoint from: {ckpt_path}")
+        params = restore_params_for_eval(ckpt_path, None)
+        runner = InferenceRunner(model_cfg, params, infer_cfg, c)
+
+        predict_relations = {}
+        for idx in range(dataset.num_test_items()):
+            item = dataset.get_test_item(idx)
+            if item is None:
+                continue
+            triplets = infer_video(runner, item)
+            if triplets is None:
+                continue
+            predict_relations.update(
+                to_eval_format(args.data_name, item["video_name"], triplets))
+
+        if len(predict_relations) < 1:
+            logger.info("None of valid prediction.")
+            results = {k: 0.0 for k in METRIC_KEYS}
+        else:
+            results = relation_metrics(gt_relations, predict_relations,
+                                       viou_threshold=infer_cfg.viou_th)
+        for k, v in results.items():
+            all_results[k].append(v)
+            logger.info(f"{k}: {v:.6f}")
+
+        if args.save_result:
+            save_path = os.path.join(
+                args.exp_dir,
+                f"predicted_relations_topk{args.topk}_"
+                f"epoch{ckpt_idx + args.eval_start_epoch}.json")
+            with open(save_path, "w") as f:
+                json.dump(predict_relations, f)
+            logger.info(f"Predicted relations saved at {save_path}")
+
+    if len(ckpt_paths) > 1:
+        for key in METRIC_KEYS:
+            best = max(range(len(all_results[key])),
+                       key=lambda i: all_results[key][i])
+            logger.info(f"Best {key} at sweep index {best}: "
+                        f"{all_results[key][best]:.6f}")
+        logger.info(f"All results: {dict(all_results)}")
+    logger.info("Eval done.")
+
+
+if __name__ == "__main__":
+    main()

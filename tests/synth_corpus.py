@@ -58,8 +58,11 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
                     frame.append({"tid": tid, "bbox": _bbox(rng, w, h)})
             trajectories.append(frame)
 
-        # relations on overlapping track intervals
+        # relations on overlapping track intervals; (s, o, pred, begin) must
+        # be unique — the merging contract assumes strictly increasing
+        # begin_fid within a triplet group
         relations = []
+        seen_keys = set()
         for _ in range(int(rng.integers(2, 6))):
             s_tid, o_tid = rng.choice(n_tracks, size=2, replace=False)
             common = sorted(set(track_frames[int(s_tid)])
@@ -80,10 +83,15 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
                 continue
             bf = int(run[0] + rng.integers(0, max(1, len(run) // 3)))
             ef = int(bf + rng.integers(4, len(run) - (bf - run[0]) + 1))
+            pred = str(rng.choice(predicates))
+            key = (int(s_tid), int(o_tid), pred, bf)
+            if key in seen_keys:
+                continue
+            seen_keys.add(key)
             relations.append({
                 "subject_tid": int(s_tid),
                 "object_tid": int(o_tid),
-                "predicate": str(rng.choice(predicates)),
+                "predicate": pred,
                 "begin_fid": bf,
                 "end_fid": ef,
             })
@@ -138,8 +146,6 @@ def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1):
     for v in range(n_videos):
         name = f"synthtest_{v:04d}"
         w, h = 320, 240
-        with open(os.path.join(ann_dir, name + ".json"), "w") as f:
-            json.dump({"video_id": name}, f)
         n_prop = int(rng.integers(3, 6))
         durations, bboxes, cat_ids = [], [], []
         video_len = 40
@@ -168,6 +174,34 @@ def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1):
         }
         with open(os.path.join(info_dir, name + ".pkl"), "wb") as f:
             pickle.dump({"traj_proposal": proposal}, f)
+
+        # matching eval annotations: trajectories follow the first two
+        # proposals, with one relation instance over their overlap
+        trajectories = [[] for _ in range(video_len)]
+        for tid in (0, 1):
+            s, e = durations[tid][0], durations[tid][1] + 1
+            for i, f_id in enumerate(range(s, e)):
+                x0, y0, x1, y1 = bboxes[tid][i].tolist()
+                trajectories[f_id].append(
+                    {"tid": tid, "bbox": {"xmin": x0, "ymin": y0,
+                                          "xmax": x1, "ymax": y1}})
+        ov_s = max(durations[0][0], durations[1][0])
+        ov_e = min(durations[0][1] + 1, durations[1][1] + 1)
+        relations = []
+        if ov_e - ov_s >= 4:
+            relations.append({"subject_tid": 0, "object_tid": 1,
+                              "predicate": "walk_next_to",
+                              "begin_fid": int(ov_s), "end_fid": int(ov_e)})
+        anno = {
+            "video_id": name, "height": h, "width": w,
+            "frame_count": video_len,
+            "subject/objects": [{"tid": 0, "category": "dog"},
+                                {"tid": 1, "category": "person"}],
+            "trajectories": trajectories,
+            "relation_instances": relations,
+        }
+        with open(os.path.join(ann_dir, name + ".json"), "w") as f:
+            json.dump(anno, f)
 
         feats = {}
         for fid in range(video_len):

@@ -1,0 +1,116 @@
+"""End-to-end CLI smoke: train.py then eval.py on a tiny synthetic corpus
+(subprocess, CPU). Exercises config loading, dataset caching, the policy,
+the jitted train loop, orbax checkpoints, bucketed inference and scoring."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from tests.synth_corpus import (VIS_DIM, make_vidvrd_corpus,
+                                make_vidvrd_test_corpus)
+
+
+def tiny_yaml(root, dirs):
+    return {
+        "model_config": {
+            "visual_dim": VIS_DIM, "bbox_entity_dim": 8, "bbox_so_dim": 5,
+            "embd_dim": 32, "num_classes": 132, "backbone_arch": [1, 1, 2],
+            "scale_factor": 2, "fpn_start_level": 0, "max_seq_len": 48,
+            "n_mha_win_size": 7, "use_abs_pe": False, "use_rel_pe": False,
+            "use_local": False, "max_so_pair": 8, "fuse_ks": 1,
+            "fuse_head": 4, "fuse_qx_stride": 1, "fuse_kv_stride": 1,
+            "fuse_path_drop": 0.1, "n_head": 4, "embd_kernel_size": 3,
+            "embd_with_ln": True, "dropattn": 0.0, "dropout": 0.0,
+            "droppath": 0.1, "fpn_dim": 16, "fpn_with_ln": True,
+            "fpn_norm_first": True, "loss_types": ["labels", "masks"],
+            "with_fuzzy": True, "scale_range": 0.85,
+            "predictor": {
+                "n_input": 32, "n_embd": 16, "n_head": 4, "n_hidden": 64,
+                "num_queries": 9, "num_classes": 132, "attn_pdrop": 0.0,
+                "proj_pdrop": 0.0, "path_pdrop": 0.1, "cls_prior_prob": 0.01,
+                "n_qx_stride": 0, "n_kv_stride": 1, "num_layers": 2,
+                "deep_supervision": True, "enforce_input_project": False,
+            },
+            "cost_coeff_dict": {"cost_class": 1.0, "cost_mask": 5.0,
+                                "cost_dice": 5.0},
+            "loss_coeff_dict": {"eos_coef": 0.1, "loss_class": 1.0,
+                                "loss_mask": 5.0, "loss_dice": 5.0},
+        },
+        "dataset_config": {
+            "ann_dir": dirs["ann_dir"],
+            "info_dir": dirs["info_dir"],
+            "gt_boxfeatures_dir": dirs["gt_boxfeatures_dir"],
+            "test_boxfeatures_dir": dirs["test_boxfeatures_dir"],
+            "cache_dir": os.path.join(root, "cache"),
+            "cache_tag": "E2E", "feat_stride": 1, "max_seq_len": 48,
+        },
+        "training_dataset_config": {
+            "split": "train", "cut_max_preds": True,
+            "proposal_max_preds": 9, "num_pairs": 2,
+        },
+        "test_dataset_config": {
+            "split": "test", "proposal_min_frames": 2,
+            "random_stride": False, "stride_offset": 0,
+        },
+        "training_config": {
+            "batch_size": 2, "training_epoch": 2, "total_epoch": 4,
+            "training_lr": 0.0002, "seed": 42, "num_workers": 0,
+            "log_interval": 1, "save_interval": 1, "eval_start_epoch": 1,
+            "clip_grad_l2norm": 1.0, "warmup": True, "warmup_epochs": 1,
+            "type": "AdamW", "momentum": 0.9, "weight_decay": 0.05,
+            "schedule_type": "cosine", "schedule_gamma": 0.1,
+            "schedule_steps": [10],
+        },
+        "inference_config": {
+            "topk": 3, "feat_stride": 1, "pred_min_frames": 2,
+            "n_max_pair": 200, "viou_th": 0.5,
+        },
+        "prepare_gt_config": {
+            "gt_relations_path": os.path.join(root, "gts.json"),
+        },
+    }
+
+
+@pytest.mark.slow
+def test_train_then_eval(tmp_path):
+    root = str(tmp_path)
+    dirs = make_vidvrd_corpus(root, n_videos=4, n_frames=40, seed=0)
+    dirs.update(make_vidvrd_test_corpus(root, n_videos=2, seed=1))
+    # test GT annotations: reuse the train annotations under test/ so that
+    # scoring has a non-empty GT (prediction quality is irrelevant here)
+    cfg = tiny_yaml(root, dirs)
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PYTHONPATH", None)  # skip the TPU sitecustomize
+    exp_dir = os.path.join(root, "exp")
+
+    r = subprocess.run(
+        [sys.executable, "train.py", "--data_name", "vidvrd",
+         "--cfg_path", cfg_path, "--exp_dir", exp_dir],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(exp_dir, "model_last.ckpt"))
+    assert os.path.exists(os.path.join(exp_dir,
+                                       "model_epoch_2_vidvrd.ckpt"))
+
+    r = subprocess.run(
+        [sys.executable, "eval.py", "--data_name", "vidvrd",
+         "--cfg_path", cfg_path, "--exp_dir", exp_dir,
+         "--ckpt_path", os.path.join(exp_dir, "model_last.ckpt"),
+         "--topk", "3", "--save_result"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = r.stdout + r.stderr
+    assert "RelDet_mAP" in log
+    assert "Eval done." in log
