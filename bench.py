@@ -32,7 +32,9 @@ def main():
     import __graft_entry__ as g
     from vrdone_tpu.models.maskvrd import MaskVRD
 
-    cfg = g._vidvrd_cfg(compute_dtype="bfloat16")
+    from vrdone_tpu.utils.precision import cast_floating
+
+    cfg = g._vidvrd_cfg()
     model = MaskVRD(cfg)
     c = g._feat_dim(cfg)
     key = jax.random.key(0)
@@ -40,6 +42,9 @@ def main():
     mask = jnp.ones((BATCH_PAIRS, SEQ_LEN), bool)
     params = model.init({"params": key}, feats, mask,
                         deterministic=True)["params"]
+    # bf16 serving precision (LN stats / softmax / heads stay f32 inside)
+    params = cast_floating(params)
+    feats = feats.astype(jnp.bfloat16)
 
     @jax.jit
     def forward(feats, mask):

@@ -1,0 +1,63 @@
+"""Pallas band-attention kernel vs the dense reference formulation
+(interpret mode on CPU; the real TPU path shares the same kernel)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vrdone_tpu.ops import masked as mops
+from vrdone_tpu.ops.pallas.band_attention import band_attention_pallas
+
+
+@pytest.mark.parametrize("t,win,block", [(128, 7, 64), (256, 9, 128),
+                                         (96, 7, 128), (300, 19, 128)])
+def test_pallas_matches_dense(t, win, block):
+    rng = np.random.default_rng(0)
+    b, h, d = 2, 4, 32
+    c = h * d
+    q = rng.standard_normal((b, t, c)).astype(np.float32)
+    k = rng.standard_normal((b, t, c)).astype(np.float32)
+    v = rng.standard_normal((b, t, c)).astype(np.float32)
+    lens = np.array([t, max(4, t // 3)])
+    mask = np.arange(t)[None] < lens[:, None]
+
+    dense = mops.band_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), jnp.asarray(mask),
+                                n_head=h, window_size=win)
+    # dense version does not zero invalid-query rows itself inside the op;
+    # it does (post-softmax multiply). Compare on valid rows only.
+    ours = band_attention_pallas(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), jnp.asarray(mask),
+                                 n_head=h, window_size=win, block=block,
+                                 interpret=True)
+    dense = np.asarray(dense) * mask[..., None]
+    ours = np.asarray(ours) * mask[..., None]
+    np.testing.assert_allclose(ours, dense, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_band_locality():
+    """Changing a key outside the band must not change the output."""
+    rng = np.random.default_rng(1)
+    b, h, d, t, win = 1, 2, 16, 256, 9
+    c = h * d
+    q = rng.standard_normal((b, t, c)).astype(np.float32)
+    k = rng.standard_normal((b, t, c)).astype(np.float32)
+    v = rng.standard_normal((b, t, c)).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    out1 = np.asarray(band_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        n_head=h, window_size=win, block=64, interpret=True))
+    k2, v2 = k.copy(), v.copy()
+    k2[0, 200] += 100.0
+    v2[0, 200] += 100.0
+    out2 = np.asarray(band_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2), jnp.asarray(mask),
+        n_head=h, window_size=win, block=64, interpret=True))
+    w = win // 2
+    np.testing.assert_allclose(out1[0, :200 - w], out2[0, :200 - w],
+                               atol=1e-6)
+    np.testing.assert_allclose(out1[0, 200 + w + 1:], out2[0, 200 + w + 1:],
+                               atol=1e-6)
+    assert np.abs(out1[0, 200] - out2[0, 200]).max() > 1e-3

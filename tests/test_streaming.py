@@ -1,0 +1,124 @@
+"""Streaming inference tests.
+
+The load-bearing property: with the local-attention config, backbone+FPN
+features inside a chunk interior are EXACTLY those of the full-sequence
+run (overlap-save with a sufficient halo)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vrdone_tpu.config import InferenceConfig, ModelConfig, PredictorConfig
+from vrdone_tpu.eval.streaming import (StreamingRunner, merge_spans,
+                                       receptive_halo)
+from vrdone_tpu.models.maskvrd import MaskVRD
+
+
+def local_cfg():
+    return ModelConfig(
+        visual_dim=8, bbox_entity_dim=8, bbox_so_dim=5, embd_dim=32,
+        num_classes=10, backbone_arch=(2, 2, 3), scale_factor=2,
+        fpn_start_level=0, max_seq_len=192, n_mha_win_size=9,
+        use_abs_pe=False, use_rel_pe=False, use_local=True, max_so_pair=8,
+        fuse_ks=1, fuse_head=4, fuse_qx_stride=1, fuse_kv_stride=1,
+        fuse_path_drop=0.0, n_head=4, embd_kernel_size=3, embd_with_ln=True,
+        dropattn=0.0, dropout=0.0, droppath=0.0, fpn_dim=16,
+        fpn_with_ln=True, fpn_norm_first=True,
+        predictor=PredictorConfig(n_input=32, n_embd=16, n_head=4,
+                                  n_hidden=64, num_queries=5, num_classes=10,
+                                  path_pdrop=0.0, num_layers=2,
+                                  deep_supervision=True))
+
+
+def test_overlap_save_features_exact():
+    cfg = local_cfg()
+    model = MaskVRD(cfg)
+    c = 2 * cfg.visual_dim + cfg.bbox_so_dim + 2 * cfg.bbox_entity_dim
+    t_full = 960
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, t_full, c)).astype(np.float32)
+    mask = np.ones((1, t_full), bool)
+    params = model.init({"params": jax.random.key(0)},
+                        jnp.asarray(x[:, :192]), jnp.asarray(mask[:, :192]),
+                        deterministic=True)["params"]
+
+    def fpn_feats(xa, ma):
+        def fwd(feats, m):
+            pyr, masks = model.apply({"params": params}, feats, m,
+                                     deterministic=True,
+                                     method=lambda mdl, f, mm,
+                                     deterministic: mdl.backbone(
+                                         f, mm, deterministic=deterministic))
+            return pyr[0]
+        return np.asarray(jax.jit(fwd)(jnp.asarray(xa), jnp.asarray(ma)))
+
+    full = fpn_feats(x, mask)
+
+    halo = receptive_halo(cfg)
+    chunk = 480
+    start = 240
+    xc = x[:, start:start + chunk]
+    mc = mask[:, start:start + chunk]
+    part = fpn_feats(xc, mc)
+
+    # interior positions (>= halo from both chunk edges) must match exactly
+    lo, hi = halo, chunk - halo
+    assert hi > lo
+    np.testing.assert_allclose(part[0, lo:hi], full[0, start + lo:start + hi],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_chunk_starts_cover():
+    cfg = local_cfg()
+    runner = StreamingRunner(
+        cfg, params=None,
+        infer=InferenceConfig(topk=2, feat_stride=1, pred_min_frames=2,
+                              n_max_pair=100, viou_th=0.5, max_so_pair=8),
+        feat_dim=37, chunk_len=576)
+    for t in [10, 576, 577, 1000, 5000]:
+        covered = np.zeros(t, bool)
+        for start, keep_lo, keep_hi in runner.chunk_starts(t):
+            assert 0 <= start and start + keep_hi <= t
+            seg = covered[start + keep_lo:start + keep_hi]
+            assert not seg.any(), f"overlap at t={t}"
+            covered[start + keep_lo:start + keep_hi] = True
+        assert covered.all(), f"gap at t={t}"
+
+
+def test_merge_spans():
+    recs = [
+        {"pred_cat": 3, "score": 0.5, "start": 0, "end": 10},
+        {"pred_cat": 3, "score": 0.7, "start": 10, "end": 20},  # abuts
+        {"pred_cat": 3, "score": 0.2, "start": 30, "end": 40},  # separate
+        {"pred_cat": 4, "score": 0.9, "start": 5, "end": 15},   # other pred
+    ]
+    merged = merge_spans(recs)
+    m3 = sorted([r for r in merged if r["pred_cat"] == 3],
+                key=lambda r: r["start"])
+    assert len(m3) == 2
+    assert (m3[0]["start"], m3[0]["end"]) == (0, 20)
+    assert m3[0]["score"] == 0.7
+    assert len([r for r in merged if r["pred_cat"] == 4]) == 1
+
+
+def test_streaming_end_to_end():
+    cfg = local_cfg()
+    model = MaskVRD(cfg)
+    c = 2 * cfg.visual_dim + cfg.bbox_so_dim + 2 * cfg.bbox_entity_dim
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 192, c)).astype(np.float32)
+    params = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                        jnp.ones((1, 192), bool),
+                        deterministic=True)["params"]
+    runner = StreamingRunner(
+        cfg, params,
+        infer=InferenceConfig(topk=2, feat_stride=1, pred_min_frames=2,
+                              n_max_pair=100, viou_th=0.5, max_so_pair=8),
+        feat_dim=c, chunk_len=576)
+    so_feat = rng.standard_normal((1500, c)).astype(np.float32)
+    records = runner.run_pair(so_feat)
+    for r in records:
+        assert 0 <= r["start"] < r["end"] <= 1500
+        assert 1 <= r["pred_cat"] <= cfg.num_classes

@@ -348,8 +348,10 @@ class LocalMHA(nn.Module):
             rel_pe = self.param(
                 "rel_pe", trunc_normal_init(math.sqrt(2.0 / self.n_embd)),
                 (self.n_head, self.window_size))
-        out = mops.band_attention(qp, kp, vp, kv_mask, n_head=self.n_head,
-                                  window_size=self.window_size, rel_pe=rel_pe)
+        out = mops.band_attention_auto(qp, kp, vp, kv_mask,
+                                       n_head=self.n_head,
+                                       window_size=self.window_size,
+                                       rel_pe=rel_pe)
         out = Dense(self.n_embd, name="proj")(out)
         if self.proj_pdrop > 0.0:
             out = nn.Dropout(self.proj_pdrop)(out, deterministic=deterministic)
@@ -387,8 +389,9 @@ class LocalConvMHA(nn.Module):
             rel_pe = self.param(
                 "rel_pe", trunc_normal_init(math.sqrt(2.0 / self.n_embd)),
                 (self.n_head, self.window_size))
-        out = mops.band_attention(qp, kp, vp, km, n_head=self.n_head,
-                                  window_size=self.window_size, rel_pe=rel_pe)
+        out = mops.band_attention_auto(qp, kp, vp, km, n_head=self.n_head,
+                                       window_size=self.window_size,
+                                       rel_pe=rel_pe)
         out = Dense(self.n_embd, name="proj")(out)
         if self.proj_pdrop > 0.0:
             out = nn.Dropout(self.proj_pdrop)(out, deterministic=deterministic)

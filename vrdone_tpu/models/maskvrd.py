@@ -84,21 +84,23 @@ class MaskVRD(nn.Module):
 
     def __call__(self, feats: Array, mask: Array, *,
                  deterministic: bool = True) -> dict:
-        """feats: (B, T, C_packed), mask: (B, T) bool -> predictions dict."""
-        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else None
-        if dtype is not None:
-            feats = feats.astype(dtype)
+        """feats: (B, T, C_packed), mask: (B, T) bool -> predictions dict.
+
+        Precision policy: the network computes in whatever float dtype the
+        inputs AND params carry (cast both with utils.precision.cast_floating
+        for bf16 serving). LayerNorm statistics and attention softmax always
+        run in f32 internally; prediction heads are cast back to f32 at the
+        end so decoding/losses are precision-stable.
+        """
         pyramid, masks = self.backbone(feats, mask, deterministic=deterministic)
         fpn_feat, _ = self.neck(pyramid, masks)
         preds = self.predictor(pyramid[-1], fpn_feat, masks[-1],
                                output_mask=masks[0],
                                deterministic=deterministic)
-        if dtype is not None:
-            preds = jax.tree.map(
-                lambda x: x.astype(jnp.float32)
-                if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, preds)
-        return preds
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if isinstance(x, jax.Array)
+            and jnp.issubdtype(x.dtype, jnp.floating) else x, preds)
 
 
 # ---------------------------------------------------------------------------

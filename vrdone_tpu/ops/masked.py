@@ -102,15 +102,17 @@ def channel_layernorm(x: Array, weight: Array | None, bias: Array | None,
     Matches reference models/blocks.py:116-158: biased variance, eps inside
     sqrt, affine params broadcast over (B, T).
     """
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    res = x - mu
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)  # stats in f32 even under bf16 compute
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    res = x32 - mu
     sigma = jnp.mean(res * res, axis=-1, keepdims=True)
     out = res * lax.rsqrt(sigma + eps)
     if weight is not None:
         out = out * weight
     if bias is not None:
         out = out + bias
-    return out
+    return out.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +215,27 @@ def band_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
     att = att.astype(vh.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
     return _merge_heads(out)
+
+
+# Minimum sequence length at which the blocked Pallas kernel beats the
+# dense band-masked formulation on TPU (below this the full T x T pass is a
+# single well-tiled MXU program and the band only trims ~25% of the FLOPs).
+PALLAS_BAND_MIN_T = 1024
+
+
+def band_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
+                        n_head: int, window_size: int,
+                        rel_pe: Array | None = None) -> Array:
+    """band_attention with automatic kernel selection: the O(T * 3B) Pallas
+    kernel on TPU for long sequences, the dense formulation otherwise."""
+    t = q.shape[1]
+    if (rel_pe is None and t >= PALLAS_BAND_MIN_T
+            and jax.default_backend() == "tpu"):
+        from .pallas.band_attention import band_attention_pallas
+        return band_attention_pallas(q, k, v, kv_mask, n_head=n_head,
+                                     window_size=window_size)
+    return band_attention(q, k, v, kv_mask, n_head=n_head,
+                          window_size=window_size, rel_pe=rel_pe)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,19 @@
+"""Mixed-precision helpers.
+
+Serving runs the network body in bfloat16 (MXU-native): cast params and
+inputs with cast_floating; LayerNorm stats / softmax / heads stay f32
+inside the model (see MaskVRD.__call__)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_floating(tree, dtype=jnp.bfloat16):
+    """Cast every floating leaf of a pytree to dtype."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)
