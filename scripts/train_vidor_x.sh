@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+set -e
+python train.py \
+    --data_name vidor \
+    --cfg_path configs/vidor_x.yaml \
+    --exp_dir "${1:-experiments/vidor_x}"
