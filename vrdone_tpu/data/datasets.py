@@ -82,6 +82,52 @@ def merge_relation_instances(relation_instances: list[dict]) -> list[dict]:
     return sorted(merged, key=lambda x: x["begin_fid"])
 
 
+def viou_dedup_tracklets(bboxes_list, traj_durations, cat_ids,
+                         viou_threshold: float = 0.9) -> np.ndarray:
+    """Containment dedup of same-category tracklets (reference
+    dataloaders/vidvrd.py:576-646). Dispatches to the native C++ sweep
+    (native/tracklet_ops.cpp) when built; numpy loop otherwise."""
+    from . import native
+    if native.have_native():
+        return native.viou_dedup(bboxes_list, traj_durations, cat_ids,
+                                 viou_threshold)
+    num = len(bboxes_list)
+    valid = [True] * num
+    for base in range(num):
+        if not valid[base]:
+            continue
+        bd = traj_durations[base]
+        for ref in range(base + 1, num):
+            if not valid[ref]:
+                continue
+            if cat_ids[base] != cat_ids[ref]:
+                continue
+            rd = traj_durations[ref]
+            if rd[0] >= bd[1] or rd[1] <= bd[0]:
+                continue
+            s, e = max(bd[0], rd[0]), min(bd[1], rd[1])
+            bb = bboxes_list[base][s - bd[0]:e - bd[0]]
+            rb = bboxes_list[ref][s - rd[0]:e - rd[0]]
+            area_b = ((bb[:, 2] - bb[:, 0] + TO_REMOVE)
+                      * (bb[:, 3] - bb[:, 1] + TO_REMOVE))
+            area_r = ((rb[:, 2] - rb[:, 0] + TO_REMOVE)
+                      * (rb[:, 3] - rb[:, 1] + TO_REMOVE))
+            lt = np.maximum(bb[:, :2], rb[:, :2])
+            rbr = np.minimum(bb[:, 2:], rb[:, 2:])
+            wh = np.clip(rbr - lt + TO_REMOVE, 0, None)
+            inter = (wh[:, 0] * wh[:, 1]).sum()
+            viou_br = inter / area_r.sum()
+            viou_rb = inter / area_b.sum()
+            if (viou_br > viou_threshold and bd[0] <= rd[0]
+                    and bd[1] >= rd[1]):
+                valid[ref] = False
+            elif (viou_rb > viou_threshold and rd[0] <= bd[0]
+                  and rd[1] >= bd[1]):
+                valid[base] = False
+                break
+    return np.asarray(valid, bool)
+
+
 def build_policy(video_num_pairs: list[list], num_pairs: int) -> list[list]:
     """Chunk the corpus-wide pair list into fixed-size loading groups
     (reference dataloaders/vidvrd.py:100-135)."""
@@ -459,41 +505,9 @@ class PairDataset:
         bboxes_list = [F.clamp_boxes(b, w_, h_) for b in bboxes_list]
 
         # vIoU >= 0.9 containment dedup over same-category tracklets
-        num = len(bboxes_list)
-        valid = [True] * num
-        for base in range(num):
-            if not valid[base]:
-                continue
-            bd = traj_durations[base]
-            for ref in range(base + 1, num):
-                if not valid[ref]:
-                    continue
-                if cat_ids[base] != cat_ids[ref]:
-                    continue
-                rd = traj_durations[ref]
-                if rd[0] >= bd[1] or rd[1] <= bd[0]:
-                    continue
-                s, e = max(bd[0], rd[0]), min(bd[1], rd[1])
-                bb = bboxes_list[base][s - bd[0]:e - bd[0]]
-                rb = bboxes_list[ref][s - rd[0]:e - rd[0]]
-                area_b = ((bb[:, 2] - bb[:, 0] + TO_REMOVE)
-                          * (bb[:, 3] - bb[:, 1] + TO_REMOVE))
-                area_r = ((rb[:, 2] - rb[:, 0] + TO_REMOVE)
-                          * (rb[:, 3] - rb[:, 1] + TO_REMOVE))
-                lt = np.maximum(bb[:, :2], rb[:, :2])
-                rbr = np.minimum(bb[:, 2:], rb[:, 2:])
-                wh = np.clip(rbr - lt + TO_REMOVE, 0, None)
-                inter = (wh[:, 0] * wh[:, 1]).sum()
-                viou_br = inter / area_r.sum()
-                viou_rb = inter / area_b.sum()
-                if (viou_br > viou_threshold and bd[0] <= rd[0]
-                        and bd[1] >= rd[1]):
-                    valid[ref] = False
-                elif (viou_rb > viou_threshold and rd[0] <= bd[0]
-                      and rd[1] >= bd[1]):
-                    valid[base] = False
-                    break
-
+        # (native C++ sweep when built — this is the O(N^2 T) host hot spot)
+        valid = viou_dedup_tracklets(bboxes_list, traj_durations, cat_ids,
+                                     viou_threshold)
         valid_ids = np.nonzero(np.asarray(valid))[0]
         keep = (np.isin(sids, valid_ids) & np.isin(oids, valid_ids))
         sids, oids = sids[keep], oids[keep]
