@@ -1,0 +1,121 @@
+"""Detector training-objective tests: matcher, sampler, losses, and a
+gradient smoke through the full per-image loss."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vrdone_tpu.models import detector_train as DT
+from vrdone_tpu.models import rpn as rpn_lib
+
+
+def test_matcher_thresholds():
+    cands = jnp.asarray(np.array([
+        [0, 0, 10, 10],      # IoU 1.0 with gt0
+        [0, 0, 5, 10],       # IoU 0.5
+        [100, 100, 110, 110],  # IoU 0
+        [2, 2, 12, 12],      # moderate overlap
+    ], np.float32))
+    gt = jnp.asarray(np.array([[0, 0, 10, 10]], np.float32))
+    m = DT.match_boxes(cands, gt, jnp.asarray([True]), high=0.7, low=0.3)
+    labels = np.asarray(m.labels)
+    assert labels[0] == 1
+    assert labels[1] == -1   # between low and high -> ignore
+    assert labels[2] == 0
+    # gt's best candidate force-matched even if below high
+    gt2 = jnp.asarray(np.array([[50, 50, 60, 60]], np.float32))
+    cands2 = jnp.asarray(np.array([[48, 50, 58, 60], [0, 0, 5, 5]],
+                                  np.float32))
+    m2 = DT.match_boxes(cands2, gt2, jnp.asarray([True]), high=0.9, low=0.3)
+    assert np.asarray(m2.labels)[0] == 1
+
+
+def test_balanced_sampler_counts():
+    rng = jax.random.key(0)
+    labels = jnp.asarray(np.array([1] * 10 + [0] * 100 + [-1] * 20))
+    pos_w, neg_w = DT.balanced_sample(labels, rng, num_samples=64,
+                                      pos_fraction=0.5)
+    # only 10 positives exist < 32 quota
+    assert int(pos_w.sum()) == 10
+    assert int(neg_w.sum()) == 32
+    assert np.all(np.asarray(pos_w)[np.asarray(labels) != 1] == 0)
+    assert np.all(np.asarray(neg_w)[np.asarray(labels) != 0] == 0)
+
+
+def test_rpn_loss_perfect_predictions_low():
+    rng0 = np.random.default_rng(0)
+    anchors = jnp.asarray(rpn_lib.make_anchors(6, 6))
+    gt = jnp.asarray(np.array([[30, 30, 80, 90], [100, 20, 160, 70]],
+                              np.float32))
+    gt_valid = jnp.asarray([True, True])
+    match = DT.match_boxes(anchors, gt, gt_valid, high=0.7, low=0.3)
+    perfect_obj = jnp.where(match.labels == 1, 20.0, -20.0)
+    perfect_deltas = rpn_lib.encode_boxes(gt[match.matched_idx], anchors)
+    losses = DT.rpn_losses(anchors, perfect_obj, perfect_deltas, gt,
+                           gt_valid, jax.random.key(1))
+    assert float(losses["loss_rpn_cls"]) < 1e-3
+    assert float(losses["loss_rpn_reg"]) < 1e-6
+
+    bad_obj = -perfect_obj
+    losses_bad = DT.rpn_losses(anchors, bad_obj, perfect_deltas, gt,
+                               gt_valid, jax.random.key(1))
+    assert float(losses_bad["loss_rpn_cls"]) > 1.0
+
+
+def test_box_head_loss_shapes_and_grad():
+    rng = np.random.default_rng(1)
+    p, k = 32, 5
+    proposals = jnp.asarray(np.abs(rng.uniform(0, 80, (p, 4))).astype(
+        np.float32))
+    proposals = proposals.at[:, 2:].add(proposals[:, :2] + 5)
+    gt = jnp.asarray(np.array([[10, 10, 50, 50]], np.float32))
+    gt_labels = jnp.asarray([3])
+    gt_valid = jnp.asarray([True])
+
+    def loss_fn(logits, deltas):
+        out = DT.box_head_losses(proposals, jnp.ones((p,), bool), logits,
+                                 deltas, gt, gt_labels, gt_valid,
+                                 jax.random.key(0))
+        return out["loss_box_cls"] + out["loss_box_reg"]
+
+    logits = jnp.asarray(rng.standard_normal((p, k + 1)).astype(np.float32))
+    deltas = jnp.asarray(rng.standard_normal((p, 4 * (k + 1))).astype(
+        np.float32))
+    val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(logits, deltas)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
+@pytest.mark.slow
+def test_detector_losses_end_to_end_grad():
+    from vrdone_tpu.models.detector import MegaDetector
+    from vrdone_tpu.models.mega import init_memory
+    det = MegaDetector(num_classes=5, resnet_layers=(1, 1, 1),
+                       mem_frames=2, props_per_frame=16, enhancer_stages=1)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 96, 96, 3)).astype(np.float32))
+    gt = jnp.asarray(np.array([[10, 10, 60, 60], [0, 0, 0, 0]], np.float32))
+    gt_labels = jnp.asarray([2, 0])
+    gt_valid = jnp.asarray([True, False])
+    mem = init_memory(2, 16, 1024)
+    image_hw = jnp.asarray([96, 96])
+
+    def init_run(m, image):
+        c4 = m.features(image)[0]
+        return m.detect_frame(c4, image_hw, *mem, post_nms_top_n=16)
+
+    params = det.init(jax.random.key(0), img, method=init_run)
+
+    def loss_fn(params):
+        out = DT.detector_losses(det, params, img, image_hw, gt, gt_labels,
+                                 gt_valid, jax.random.key(1),
+                                 post_nms_top_n=16, mem=mem)
+        return out["total_loss"], out
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params)
+    assert np.isfinite(float(total)), losses
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0

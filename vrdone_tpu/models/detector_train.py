@@ -1,0 +1,179 @@
+"""Detector training objective (RPN + box head), static shapes.
+
+Faster-RCNN-style losses mirroring the reference's maskrcnn-benchmark
+pipeline (reference mega_core/modeling/rpn/loss.py,
+roi_heads/box_head/loss.py, matcher.py, balanced_positive_negative_sampler
+.py) reworked without dynamic shapes:
+
+  * IoU matcher with low/high thresholds and force-matching of each GT's
+    best anchor,
+  * "balanced" pos/neg subsampling as a top-k over random priorities
+    (static sample counts; shortfall handled by weight masks),
+  * binary objectness + smooth-L1 for the RPN; per-class CE + smooth-L1
+    for the box head.
+
+MEGA training composes these with the relation-attention enhancer run
+against reference-frame proposal features (the reference trains key +
+local/memory/global frames through a shared backbone,
+generalized_rcnn_mega.py:80-135); detector_train_step below implements the
+key+refs scheme with a fixed number of reference frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import box_iou
+from . import rpn as rpn_lib
+
+Array = jax.Array
+
+
+class MatchResult(NamedTuple):
+    matched_idx: Array   # (N,) index of matched gt (clamped)
+    labels: Array        # (N,) 1 pos / 0 neg / -1 ignore
+
+
+def match_boxes(candidates: Array, gt_boxes: Array, gt_valid: Array, *,
+                high: float, low: float,
+                force_match: bool = True) -> MatchResult:
+    """IoU matcher (reference mega_core/modeling/matcher.py semantics)."""
+    iou = box_iou(candidates, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    labels = jnp.where(best_iou >= high, 1, jnp.where(best_iou < low, 0, -1))
+    if force_match:
+        # each valid gt's highest-IoU candidate becomes positive
+        best_cand = jnp.argmax(iou, axis=0)             # (G,)
+        force = jnp.zeros(candidates.shape[0], bool).at[best_cand].set(
+            gt_valid)
+        labels = jnp.where(force, 1, labels)
+        best_gt = jnp.where(
+            force, jnp.argmax(jnp.where(force[:, None],
+                                        iou, -jnp.inf), axis=1), best_gt)
+    return MatchResult(best_gt, labels)
+
+
+def balanced_sample(labels: Array, rng: Array, *, num_samples: int,
+                    pos_fraction: float) -> tuple[Array, Array]:
+    """Random balanced pos/neg selection with static counts.
+
+    Returns (pos_weight, neg_weight) float arrays over all candidates;
+    weights are 1 for selected entries (up to the static quota — when fewer
+    positives exist than the quota, only the existing ones get weight)."""
+    n = labels.shape[0]
+    n_pos = min(int(num_samples * pos_fraction), n)
+    n_neg = min(num_samples - n_pos, n)
+    prio = jax.random.uniform(rng, (n,))
+    pos_p = jnp.where(labels == 1, prio, -1.0)
+    neg_p = jnp.where(labels == 0, prio, -1.0)
+    pos_thr = jax.lax.top_k(pos_p, n_pos)[0][-1]
+    neg_thr = jax.lax.top_k(neg_p, n_neg)[0][-1]
+    pos_w = ((labels == 1) & (pos_p >= jnp.maximum(pos_thr, 0.0))
+             ).astype(jnp.float32)
+    neg_w = ((labels == 0) & (neg_p >= jnp.maximum(neg_thr, 0.0))
+             ).astype(jnp.float32)
+    return pos_w, neg_w
+
+
+def smooth_l1(x: Array, beta: float = 1.0 / 9) -> Array:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def rpn_losses(anchors: Array, objectness: Array, box_deltas: Array,
+               gt_boxes: Array, gt_valid: Array, rng: Array, *,
+               batch_per_image: int = 256,
+               pos_fraction: float = 0.5) -> dict:
+    """objectness: (N,), box_deltas: (N, 4)."""
+    match = match_boxes(anchors, gt_boxes, gt_valid, high=0.7, low=0.3)
+    pos_w, neg_w = balanced_sample(match.labels, rng,
+                                   num_samples=batch_per_image,
+                                   pos_fraction=pos_fraction)
+    w = pos_w + neg_w
+    tgt = (match.labels == 1).astype(jnp.float32)
+    bce = jnp.maximum(objectness, 0) - objectness * tgt + jnp.log1p(
+        jnp.exp(-jnp.abs(objectness)))
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    cls_loss = jnp.sum(w * bce) / denom
+
+    reg_tgt = rpn_lib.encode_boxes(gt_boxes[match.matched_idx], anchors)
+    diff = jnp.where(pos_w[:, None] > 0, box_deltas - reg_tgt, 0.0)
+    reg = jnp.sum(smooth_l1(diff), axis=-1)
+    reg_loss = jnp.sum(pos_w * reg) / denom
+    return {"loss_rpn_cls": cls_loss, "loss_rpn_reg": reg_loss}
+
+
+def box_head_losses(proposals: Array, proposals_valid: Array,
+                    cls_logits: Array, bbox_deltas: Array, gt_boxes: Array,
+                    gt_labels: Array, gt_valid: Array, rng: Array, *,
+                    batch_per_image: int = 256, pos_fraction: float = 0.25,
+                    reg_weights=(10.0, 10.0, 5.0, 5.0)) -> dict:
+    """cls_logits: (P, K+1); bbox_deltas: (P, 4(K+1))."""
+    match = match_boxes(proposals, gt_boxes, gt_valid, high=0.5, low=0.5,
+                        force_match=False)
+    labels = jnp.where(proposals_valid, match.labels, -1)
+    pos_w, neg_w = balanced_sample(labels, rng,
+                                   num_samples=batch_per_image,
+                                   pos_fraction=pos_fraction)
+    w = pos_w + neg_w
+    cls_tgt = jnp.where(labels == 1, gt_labels[match.matched_idx], 0)
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, cls_tgt[:, None], axis=-1)[:, 0]
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    cls_loss = jnp.sum(w * ce) / denom
+
+    reg_tgt = rpn_lib.encode_boxes(gt_boxes[match.matched_idx], proposals,
+                                   weights=reg_weights)
+    # gather the deltas of the target class
+    p = proposals.shape[0]
+    idx = cls_tgt[:, None] * 4 + jnp.arange(4)[None, :]
+    deltas_c = jnp.take_along_axis(bbox_deltas, idx, axis=1)
+    diff = jnp.where(pos_w[:, None] > 0, deltas_c - reg_tgt, 0.0)
+    reg = jnp.sum(smooth_l1(diff), axis=-1)
+    reg_loss = jnp.sum(pos_w * reg) / denom
+    return {"loss_box_cls": cls_loss, "loss_box_reg": reg_loss}
+
+
+def detector_losses(det_module, params, key_image: Array, image_hw: Array,
+                    gt_boxes: Array, gt_labels: Array, gt_valid: Array,
+                    rng: Array, *, post_nms_top_n: int = 128,
+                    mem) -> dict:
+    """One-image detection loss (RPN + box head through the enhancer path).
+
+    mem: (mem_feat, mem_boxes, mem_valid) reference-frame memory, e.g. the
+    proposal features of sampled local/global ref frames.
+    """
+    def fwd(m, image):
+        c4 = m.features(image)[0]
+        logits, deltas = m.rpn_head(c4[None])
+        hp, wp, a = logits.shape[1], logits.shape[2], logits.shape[3]
+        anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
+        obj = logits[0].reshape(-1)
+        dl = deltas[0].reshape(-1, 4)
+        boxes, scores, valid = rpn_lib.select_proposals(
+            anchors, jax.lax.stop_gradient(obj),
+            jax.lax.stop_gradient(dl), image_hw,
+            pre_nms_top_n=2000, post_nms_top_n=post_nms_top_n)
+        pooled = m.box_head.pooled_features(c4, boxes)
+        visual = m.box_head.to_visual(pooled)
+        visual = m.enhancer(visual, boxes, valid, *mem)
+        cls_logits, bbox_deltas = m.box_head.predictions(pooled)
+        return anchors, obj, dl, boxes, valid, cls_logits, bbox_deltas
+
+    (anchors, obj, dl, proposals, pvalid, cls_logits,
+     bbox_deltas) = det_module.apply(params, key_image, method=fwd)
+
+    r1, r2 = jax.random.split(rng)
+    losses = rpn_losses(anchors, obj, dl, gt_boxes, gt_valid, r1)
+    losses.update(box_head_losses(proposals, pvalid, cls_logits,
+                                  bbox_deltas, gt_boxes, gt_labels,
+                                  gt_valid, r2))
+    losses["total_loss"] = sum(losses.values())
+    return losses

@@ -72,12 +72,14 @@ def encode_boxes(ref: Array, proposals: Array,
                  weights=BBOX_REG_WEIGHTS) -> Array:
     """Inverse of decode_boxes (for training targets)."""
     wx, wy, ww, wh = weights
-    pw = proposals[:, 2] - proposals[:, 0]
-    ph = proposals[:, 3] - proposals[:, 1]
+    # degenerate (clipped / padded) proposals would put inf/nan into the
+    # log-space targets; clamp to 1px (losses gate them out anyway)
+    pw = jnp.maximum(proposals[:, 2] - proposals[:, 0], 1.0)
+    ph = jnp.maximum(proposals[:, 3] - proposals[:, 1], 1.0)
     px = proposals[:, 0] + 0.5 * pw
     py = proposals[:, 1] + 0.5 * ph
-    gw = ref[:, 2] - ref[:, 0]
-    gh = ref[:, 3] - ref[:, 1]
+    gw = jnp.maximum(ref[:, 2] - ref[:, 0], 1.0)
+    gh = jnp.maximum(ref[:, 3] - ref[:, 1], 1.0)
     gx = ref[:, 0] + 0.5 * gw
     gy = ref[:, 1] + 0.5 * gh
     return jnp.stack([
