@@ -45,6 +45,8 @@ def parse_args():
                    choices=[None, "float32", "bfloat16"])
     p.add_argument("--n_dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write an xplane profiler trace of steps 10-20")
     return p.parse_args()
 
 
@@ -125,9 +127,17 @@ def main():
         logger.info(f"[Train]: Epoch {epoch:d} started")
         trackers: dict[str, AverageMeter] = {}
         epoch_start = time.time()
+        data_t0 = time.time()
         for step, batch in enumerate(loader.epoch(epoch)):
+            data_time = time.time() - data_t0
+            if args.profile_dir and total_steps == 10:
+                jax.profiler.start_trace(args.profile_dir)
             batch = shard_batch(mesh, batch)
             state, losses = step_fn(state, batch, rng)
+            if args.profile_dir and total_steps == 20:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
+                logger.info(f"Profiler trace written to {args.profile_dir}")
             if total_steps % log_interval == 0:
                 losses = jax.device_get(losses)
                 for k, v in losses.items():
@@ -139,8 +149,10 @@ def main():
                 parts += [f"{k}={m.avg:.4f}" for k, m in trackers.items()
                           if k != "total_loss" and "_" not in k[-2:]]
                 parts.append(f"training lr={lr:.1e}")
+                parts.append(f"data={data_time*1e3:.0f}ms")
                 logger.info("  ".join(parts))
             total_steps += 1
+            data_t0 = time.time()
         logger.info(f"Epoch time: {time.time() - epoch_start:.4f}s")
 
         if (epoch + 1) % save_interval == 0 and (epoch + 1) >= eval_start_epoch:
