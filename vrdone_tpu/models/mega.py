@@ -109,19 +109,30 @@ class MegaEnhancer(nn.Module):
 
     @nn.compact
     def __call__(self, feat: Array, boxes: Array, valid: Array,
-                 mem_feat: Array, mem_boxes: Array, mem_valid: Array
-                 ) -> Array:
+                 mem_feat: Array, mem_boxes: Array, mem_valid: Array,
+                 global_feat: Array | None = None,
+                 global_boxes: Array | None = None,
+                 global_valid: Array | None = None) -> Array:
         """Enhance one frame's proposals against flattened memory.
 
         feat: (N, D), boxes: (N, 4), valid: (N,);
         mem_*: (M, D) / (M, 4) / (M,).
+        global_*: optional video-level proposal set (the reference MEGA's
+        "global" stage samples shuffled frames across the whole video,
+        roi_box_feature_extractors.py:658-700); attended before the
+        local/memory stages.
         """
+        x = feat
+        if global_feat is not None:
+            res = RelationAttention(self.feat_dim, self.n_head,
+                                    name="global_stage")(
+                x, boxes, global_feat, global_boxes, global_valid)
+            x = x + res
         # include the current frame in the reference set (self-attention
         # within the frame + cross-attention to memory)
-        ref_feat = jnp.concatenate([feat, mem_feat], axis=0)
+        ref_feat = jnp.concatenate([x, mem_feat], axis=0)
         ref_boxes = jnp.concatenate([boxes, mem_boxes], axis=0)
         ref_valid = jnp.concatenate([valid, mem_valid], axis=0)
-        x = feat
         for i in range(self.num_stages):
             res = RelationAttention(self.feat_dim, self.n_head,
                                     name=f"stage_{i}")(
