@@ -23,26 +23,36 @@ def pack_train_batch(pairs: list[dict], pack_size: int, max_seq_len: int,
     happen when a policy group unexpectedly yields extra pairs).
     """
     p = pack_size
-    feats = np.zeros((p, max_seq_len, feat_dim), np.float32)
-    seq_mask = np.zeros((p, max_seq_len), bool)
     item_valid = np.zeros((p,), bool)
     gt_labels = np.zeros((p, num_gt), np.int32)
     gt_masks = np.zeros((p, num_gt, max_seq_len), np.float32)
     gt_segs = np.zeros((p, num_gt, 2), np.int32)
     gt_valid = np.zeros((p, num_gt), bool)
 
+    # feature packing is the bulk of the copy work; use the native packer
+    # (native/tracklet_ops.cpp) when built
+    from . import native
+    if native.have_native() and pairs:
+        feats, seq_mask = native.pack_pairs(
+            [pair["so_feat"] for pair in pairs[:p]], p, max_seq_len,
+            feat_dim)
+    else:
+        feats = np.zeros((p, max_seq_len, feat_dim), np.float32)
+        seq_mask = np.zeros((p, max_seq_len), bool)
+        for i, pair in enumerate(pairs[:p]):
+            t = pair["so_feat"].shape[0]
+            feats[i, :t] = pair["so_feat"]
+            seq_mask[i, :t] = True
+        # keep one valid frame on padded rows (finite masked reductions)
+        seq_mask[len(pairs[:p]):, 0] = True
+
     for i, pair in enumerate(pairs[:p]):
-        t = pair["so_feat"].shape[0]
-        feats[i, :t] = pair["so_feat"]
-        seq_mask[i, :t] = True
         item_valid[i] = True
         n = min(len(pair["preds"]), num_gt)
         gt_labels[i, :n] = pair["preds"][:n]
         gt_masks[i, :n] = pair["masks"][:n]
         gt_segs[i, :n] = pair["segs"][:n]
         gt_valid[i, :n] = True
-    # keep one valid frame on padded rows so masked reductions stay finite
-    seq_mask[~item_valid, 0] = True
     return {
         "feats": feats,
         "seq_mask": seq_mask,
