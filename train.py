@@ -47,6 +47,11 @@ def parse_args():
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write an xplane profiler trace of steps 10-20")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="call jax.distributed.initialize() for multi-host "
+                        "pods (coordinator from env, cf. torchrun env vars)")
+    p.add_argument("--auto_resume", action="store_true", default=False,
+                   help="resume from <exp_dir>/model_last.ckpt if present")
     return p.parse_args()
 
 
@@ -60,6 +65,8 @@ def feat_channels(model_cfg) -> int:
 
 def main():
     args = parse_args()
+    if args.multihost:
+        jax.distributed.initialize()
     config = load_yaml_config(args.cfg_path)
     config["training_config"]["seed"] = args.seed
     config["dataset_config"].update(config["training_dataset_config"])
@@ -108,6 +115,11 @@ def main():
     step_fn = make_jitted_train_step(model_cfg, mesh)
 
     crt_epoch = 0
+    if args.auto_resume and not args.from_checkpoint:
+        last = os.path.join(args.exp_dir, "model_last.ckpt")
+        if os.path.exists(last):
+            args.from_checkpoint = True
+            args.ckpt_path = last
     if args.from_checkpoint:
         state, crt_epoch, ckpt_bs = ckpt.restore_checkpoint(args.ckpt_path,
                                                             state)

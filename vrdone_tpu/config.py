@@ -80,6 +80,8 @@ class ModelConfig:
     loss_dice: float = 5.0
     # compute dtype for the network body ("float32" | "bfloat16")
     compute_dtype: str = "float32"
+    # rematerialize the forward in the backward pass (memory for FLOPs)
+    remat: bool = False
 
     @property
     def mha_win_size(self) -> tuple[int, ...]:

@@ -60,11 +60,17 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     model = MaskVRD(cfg)
     step_rng = jax.random.fold_in(rng, state.step)
 
-    def loss_fn(params):
-        preds = model.apply(
-            {"params": params}, batch["feats"], batch["seq_mask"],
-            deterministic=False,
+    def forward(params, feats, seq_mask):
+        return model.apply(
+            {"params": params}, feats, seq_mask, deterministic=False,
             rngs={"droppath": step_rng, "dropout": step_rng})
+
+    if cfg.remat:
+        # trade FLOPs for HBM: recompute the forward during the backward
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params):
+        preds = forward(params, batch["feats"], batch["seq_mask"])
         losses = compute_losses(cfg, preds, batch)
         return losses["total_loss"], losses
 
