@@ -13,7 +13,7 @@ import pickle
 
 import numpy as np
 
-VIS_DIM = 8
+VIS_DIM = 8  # default; generators accept vis_dim overrides
 
 
 def _bbox(rng, w, h):
@@ -27,7 +27,8 @@ def _bbox(rng, w, h):
 
 def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
                        seed: int = 0, categories=("dog", "person", "car"),
-                       predicates=("walk_next_to", "chase", "watch")):
+                       predicates=("walk_next_to", "chase", "watch"),
+                       vis_dim: int = VIS_DIM):
     rng = np.random.default_rng(seed)
     ann_dir = os.path.join(root, "annotations", "train")
     feat_dir = os.path.join(root, "features", "GT_boxfeatures_training")
@@ -62,7 +63,7 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
         # be unique — the merging contract assumes strictly increasing
         # begin_fid within a triplet group
         relations = []
-        seen_keys = set()
+        seen_keys = {}
         for _ in range(int(rng.integers(2, 6))):
             s_tid, o_tid = rng.choice(n_tracks, size=2, replace=False)
             common = sorted(set(track_frames[int(s_tid)])
@@ -84,10 +85,13 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
             bf = int(run[0] + rng.integers(0, max(1, len(run) // 3)))
             ef = int(bf + rng.integers(4, len(run) - (bf - run[0]) + 1))
             pred = str(rng.choice(predicates))
-            key = (int(s_tid), int(o_tid), pred, bf)
-            if key in seen_keys:
+            # per-(s, o, pred), generated spans must not overlap or touch:
+            # the dataloaders' merge contract asserts strictly increasing,
+            # non-contained instances within a triplet group
+            key = (int(s_tid), int(o_tid), pred)
+            if any(bf <= e and ef >= b for b, e in seen_keys.get(key, [])):
                 continue
-            seen_keys.add(key)
+            seen_keys.setdefault(key, []).append((bf, ef))
             relations.append({
                 "subject_tid": int(s_tid),
                 "object_tid": int(o_tid),
@@ -120,7 +124,7 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
                 "frame_id": f + 1,
                 "tids": np.asarray(tids, np.int64),
                 "visual_features": rng.standard_normal(
-                    (len(tids), VIS_DIM)).astype(np.float32),
+                    (len(tids), vis_dim)).astype(np.float32),
             }
         with open(os.path.join(feat_dir, name + ".pkl"), "wb") as f:
             pickle.dump(feats, f)
@@ -131,7 +135,8 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
     }
 
 
-def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1):
+def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1,
+                            vis_dim: int = VIS_DIM):
     """BIG-style proposal pickles + MEGA test feature pickles (torch tensors,
     as the reference writes them)."""
     import torch
@@ -166,9 +171,9 @@ def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1):
             "scores": torch.rand(n_prop),
             "bboxes_list": bboxes,
             "traj_durations": torch.tensor(durations, dtype=torch.int64),
-            "features_list": [torch.randn(len(b), VIS_DIM) for b in bboxes],
+            "features_list": [torch.randn(len(b), vis_dim) for b in bboxes],
             "num_proposals": n_prop,
-            "dim_feat": VIS_DIM,
+            "dim_feat": vis_dim,
             "video_len": video_len,
             "video_wh": (w, h),
         }
@@ -213,7 +218,7 @@ def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1):
                 "frame_id": fid,
                 "tids": np.asarray(tids, np.int64),
                 "visual_features": rng.standard_normal(
-                    (len(tids), VIS_DIM)).astype(np.float32),
+                    (len(tids), vis_dim)).astype(np.float32),
             }
         with open(os.path.join(feat_dir, name + ".pkl"), "wb") as f:
             pickle.dump(feats, f)
