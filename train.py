@@ -28,7 +28,8 @@ from vrdone_tpu.data.datasets import VidORDataset, VidVRDDataset
 from vrdone_tpu.data.loader import TrainLoader
 from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
 from vrdone_tpu.train import checkpoint as ckpt
-from vrdone_tpu.train.loop import create_train_state, make_jitted_train_step
+from vrdone_tpu.train.loop import (commit_state, create_train_state,
+                                   make_jitted_train_step)
 from vrdone_tpu.utils.logging import AverageMeter, setup_logger
 
 
@@ -113,6 +114,7 @@ def main():
     logger.info(f"Number of model parameters: {n_params}")
 
     step_fn = make_jitted_train_step(model_cfg, mesh)
+    state = commit_state(state, mesh)
 
     crt_epoch = 0
     if args.auto_resume and not args.from_checkpoint:

@@ -83,6 +83,16 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     return new_state, losses
 
 
+def commit_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the state on the mesh (replicated) BEFORE the first step.
+
+    The step donates its state; an uncommitted initial state makes call 1
+    compile for host-default layouts and call 2 recompile for the donated
+    replicated outputs — two multi-minute compiles of the same program.
+    Committing up front pins one layout for every call."""
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
 def make_jitted_train_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
     """jit train_step; with a mesh, shard the batch over "dp" and replicate
     state (grad all-reduce is inserted by XLA)."""
