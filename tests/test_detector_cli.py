@@ -1,0 +1,62 @@
+"""Detector training CLI smoke: tiny ResNet, 2 iterations, synthetic
+frames + annotations (subprocess, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_detector_smoke(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    root = str(tmp_path)
+    anno_dir = os.path.join(root, "annotations")
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(anno_dir)
+
+    for v in range(2):
+        name = f"vid{v}"
+        os.makedirs(os.path.join(frames_dir, name))
+        trajectories = []
+        for f in range(3):
+            img = rng.integers(0, 255, (80, 120, 3), np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(frames_dir, name, f"{f + 1:06d}.jpg"))
+            trajectories.append([
+                {"tid": 0, "bbox": {"xmin": 10, "ymin": 10,
+                                    "xmax": 60, "ymax": 50}},
+                {"tid": 1, "bbox": {"xmin": 40, "ymin": 20,
+                                    "xmax": 100, "ymax": 70}},
+            ])
+        anno = {
+            "video_id": name, "height": 80, "width": 120, "frame_count": 3,
+            "subject/objects": [{"tid": 0, "category": "dog"},
+                                {"tid": 1, "category": "person"}],
+            "trajectories": trajectories,
+            "relation_instances": [],
+        }
+        with open(os.path.join(anno_dir, name + ".json"), "w") as f:
+            json.dump(anno, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    exp = os.path.join(root, "exp")
+    r = subprocess.run(
+        [sys.executable, "tools/train_detector.py",
+         "--anno_dir", anno_dir, "--frames_dir", frames_dir,
+         "--exp_dir", exp, "--dataset", "vidvrd",
+         "--iters", "2", "--resnet_layers", "1,1,1",
+         "--min_size", "64", "--canvas", "64", "96",
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(exp, "detector_2.ckpt"))
+    log = r.stdout + r.stderr
+    assert "loss_rpn_cls" in log

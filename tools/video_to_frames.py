@@ -6,6 +6,10 @@ vidvrd_video_to_frames.py:30-33. Frames land in <out_dir>/<video>/%06d.jpg.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
