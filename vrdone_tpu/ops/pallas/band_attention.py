@@ -60,7 +60,7 @@ def _band_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
             jnp.int32, (block, block), 1)
         in_band = jnp.abs(q_pos - k_pos) <= w
         # additive -1e4 for invalid keys (kvm holds 0 / -1e4)
-        s = s + kvm_ref[0][None, :]
+        s = s + kvm_ref[0][:, 0][None, :]
         s = jnp.where(in_band, s, NEG_INF)
 
         m_prev = m_ref[...]               # (block, 1)
@@ -111,7 +111,9 @@ def band_attention_pallas(q, k, v, kv_mask, *, n_head: int,
 
     qh, kh, vh = split(q), split(k), split(v)
     kvm = jnp.where(kv_mask, 0.0, NEG_BIG).astype(jnp.float32)
-    kvm = jnp.repeat(kvm, n_head, axis=0)     # (B*H, Tp)
+    kvm = jnp.repeat(kvm, n_head, axis=0)[..., None]   # (B*H, Tp, 1)
+    # trailing singleton keeps the mask block TPU-tileable: (1, block, 1)
+    # satisfies the (8, 128)-divisible-or-full rule via full trailing dims
 
     grid = (b * n_head, nb, 3)
 
@@ -126,8 +128,8 @@ def band_attention_pallas(q, k, v, kv_mask, *, n_head: int,
             pl.BlockSpec((1, block, d), lambda h, i, j: (h, i, 0)),
             pl.BlockSpec((1, block, d), clamp_kb),
             pl.BlockSpec((1, block, d), clamp_kb),
-            pl.BlockSpec((1, block), lambda h, i, j:
-                         (h, jnp.clip(i - 1 + j, 0, nb - 1))),
+            pl.BlockSpec((1, block, 1), lambda h, i, j:
+                         (h, jnp.clip(i - 1 + j, 0, nb - 1), 0)),
         ],
         out_specs=pl.BlockSpec((1, block, d), lambda h, i, j: (h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * n_head, tp, d), q.dtype),
