@@ -60,3 +60,34 @@ def test_train_detector_smoke(tmp_path):
     assert os.path.exists(os.path.join(exp, "detector_2.ckpt"))
     log = r.stdout + r.stderr
     assert "loss_rpn_cls" in log
+
+
+@pytest.mark.slow
+def test_detect_and_track_smoke(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    root = str(tmp_path)
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(os.path.join(frames_dir, "vidA"))
+    for f in range(3):
+        img = rng.integers(0, 255, (64, 96, 3), np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(frames_dir, "vidA", f"{f + 1:06d}.jpg"))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out_dir = os.path.join(root, "proposals")
+    r = subprocess.run(
+        [sys.executable, "tools/detect_and_track.py",
+         "--frames_dir", frames_dir, "--out_dir", out_dir,
+         "--num_classes", "5", "--resnet_layers", "1,1,1",
+         "--canvas", "64", "96", "--post_nms_top_n", "8",
+         "--score_thresh", "0.01"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import pickle
+    with open(os.path.join(out_dir, "vidA.pkl"), "rb") as f:
+        prop = pickle.load(f)["traj_proposal"]
+    assert "num_proposals" in prop and "bboxes_list" in prop
