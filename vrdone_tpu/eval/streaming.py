@@ -84,7 +84,8 @@ class StreamingRunner:
     """Chunked inference over arbitrarily long SO-pair sequences."""
 
     def __init__(self, cfg: ModelConfig, params, infer: InferenceConfig,
-                 feat_dim: int, chunk_len: int | None = None):
+                 feat_dim: int, chunk_len: int | None = None,
+                 chunk_batch: int = 8):
         self.cfg = cfg
         self.infer = infer
         self.params = params
@@ -95,6 +96,9 @@ class StreamingRunner:
         self.chunk_len = ((self.chunk_len + q - 1) // q) * q
         self.interior = self.chunk_len - 2 * self.halo
         assert self.interior > 0, (self.chunk_len, self.halo)
+        # chunks are independent (overlap-save), so they batch freely —
+        # fills the chip instead of running (1, chunk) forwards
+        self.chunk_batch = chunk_batch
         self.model = MaskVRD(cfg)
         self._fn = None
 
@@ -136,38 +140,48 @@ class StreamingRunner:
         t = so_feat.shape[0]
         fn = self._forward()
         records = []
-        for start, keep_lo, keep_hi in self.chunk_starts(t):
-            end = min(start + self.chunk_len, t)
-            feats = np.zeros((1, self.chunk_len, self.feat_dim), np.float32)
-            feats[0, :end - start] = so_feat[start:end]
-            mask = np.zeros((1, self.chunk_len), bool)
-            mask[0, :end - start] = True
-            scores, catids, masks_bin = fn(self.params, jnp.asarray(feats),
-                                           jnp.asarray(mask))
-            scores = np.asarray(scores)[0]       # (Q, topk)
-            catids = np.asarray(catids)[0]
-            masks_bin = np.asarray(masks_bin)[0]  # (Q, chunk)
-            nq, topk = scores.shape
-            for qi in range(nq):
-                on = masks_bin[qi, :end - start]
-                # restrict to the interior this chunk owns
-                on = on.copy()
-                on[:keep_lo] = False
-                on[keep_hi:] = False
-                idx = np.nonzero(on)[0]
-                if len(idx) == 0:
-                    continue
-                # contiguous runs -> spans
-                breaks = np.nonzero(np.diff(idx) > 1)[0]
-                starts_ = np.concatenate([[0], breaks + 1])
-                ends_ = np.concatenate([breaks, [len(idx) - 1]])
-                for s_i, e_i in zip(starts_, ends_):
-                    lo = int(idx[s_i]) + start
-                    hi = int(idx[e_i]) + start + 1
-                    for k in range(topk):
-                        records.append({
-                            "pred_cat": int(catids[qi, k]),
-                            "score": float(scores[qi, k]),
-                            "start": lo, "end": hi,
-                        })
+        chunks = self.chunk_starts(t)
+        cb = self.chunk_batch
+        for group_start in range(0, len(chunks), cb):
+            group = chunks[group_start:group_start + cb]
+            feats = np.zeros((cb, self.chunk_len, self.feat_dim), np.float32)
+            mask = np.zeros((cb, self.chunk_len), bool)
+            ends = []
+            for gi, (start, _, _) in enumerate(group):
+                end = min(start + self.chunk_len, t)
+                feats[gi, :end - start] = so_feat[start:end]
+                mask[gi, :end - start] = True
+                ends.append(end)
+            mask[len(group):, 0] = True  # padded chunk slots stay finite
+            b_scores, b_catids, b_masks = fn(self.params, jnp.asarray(feats),
+                                             jnp.asarray(mask))
+            b_scores = np.asarray(b_scores)
+            b_catids = np.asarray(b_catids)
+            b_masks = np.asarray(b_masks)
+            for gi, (start, keep_lo, keep_hi) in enumerate(group):
+                end = ends[gi]
+                scores, catids = b_scores[gi], b_catids[gi]   # (Q, topk)
+                masks_bin = b_masks[gi]                        # (Q, chunk)
+                nq, topk = scores.shape
+                for qi in range(nq):
+                    on = masks_bin[qi, :end - start].copy()
+                    # restrict to the interior this chunk owns
+                    on[:keep_lo] = False
+                    on[keep_hi:] = False
+                    idx = np.nonzero(on)[0]
+                    if len(idx) == 0:
+                        continue
+                    # contiguous runs -> spans
+                    breaks = np.nonzero(np.diff(idx) > 1)[0]
+                    starts_ = np.concatenate([[0], breaks + 1])
+                    ends_ = np.concatenate([breaks, [len(idx) - 1]])
+                    for s_i, e_i in zip(starts_, ends_):
+                        lo = int(idx[s_i]) + start
+                        hi = int(idx[e_i]) + start + 1
+                        for k in range(topk):
+                            records.append({
+                                "pred_cat": int(catids[qi, k]),
+                                "score": float(scores[qi, k]),
+                                "start": lo, "end": hi,
+                            })
         return merge_spans(records)
