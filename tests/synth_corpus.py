@@ -136,7 +136,8 @@ def make_vidvrd_corpus(root: str, n_videos: int = 3, n_frames: int = 40,
 
 
 def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1,
-                            vis_dim: int = VIS_DIM):
+                            vis_dim: int = VIS_DIM, video_len: int = 40,
+                            max_span: int = 30):
     """BIG-style proposal pickles + MEGA test feature pickles (torch tensors,
     as the reference writes them)."""
     import torch
@@ -153,10 +154,9 @@ def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1,
         w, h = 320, 240
         n_prop = int(rng.integers(3, 6))
         durations, bboxes, cat_ids = [], [], []
-        video_len = 40
         for p in range(n_prop):
             s = int(rng.integers(0, 15))
-            e = int(rng.integers(s + 8, min(s + 30, video_len)))
+            e = int(rng.integers(s + 8, min(s + max_span, video_len)))
             durations.append([s, e - 1])  # stored closed; loader adds +1
             boxes = []
             for _ in range(e - s):

@@ -177,3 +177,73 @@ def test_decode_parity_vs_reference_forward_test(tmp_path):
                            theirs["triple_scores_avg"]):
             assert abs(ours_map[(tuple(t), tuple(d))] - s) < 5e-4
     assert n_checked > 0
+
+
+def test_decode_parity_long_bucket(tmp_path):
+    """Sequences longer than max_seq_len: our geometric length buckets must
+    reproduce the reference's pad-to-max_div_factor long path."""
+    import torch
+    from tests import oracle
+    from tests.synth_corpus import make_vidvrd_test_corpus, VIS_DIM
+    from tests.test_model_parity import small_cfg, make_models
+    from vrdone_tpu.data.datasets import VidVRDDataset
+    import os
+
+    root = str(tmp_path)
+    dirs = make_vidvrd_test_corpus(root, n_videos=2, seed=9, video_len=90,
+                                   max_span=80)
+    # max_seq_len 32 with window 5 (strides 4..32 all divide 32); test
+    # videos run up to 90 frames -> the long bucket is exercised
+    cfg = small_cfg(visual_dim=VIS_DIM, max_so_pair=4, max_seq_len=32,
+                    n_mha_win_size=5)
+    tm, jm, params = make_models(cfg, seed=3)
+    tm.eval()
+    infer = InferenceConfig(topk=2, feat_stride=1, pred_min_frames=2,
+                            n_max_pair=10000, viou_th=0.5, max_so_pair=4)
+    tm._config_eval({"topk": infer.topk, "n_max_pair": infer.n_max_pair,
+                     "feat_stride": infer.feat_stride,
+                     "pred_min_frames": infer.pred_min_frames})
+
+    ds = VidVRDDataset({
+        "ann_dir": os.path.join(root, "annotations"),
+        "cache_tag": "L", "cache_dir": os.path.join(root, "cache"),
+        "feat_stride": 1, "max_seq_len": cfg.max_seq_len, "split": "test",
+        "proposal_min_frames": 2, "random_stride": False, "stride_offset": 0,
+        "info_dir": dirs["info_dir"],
+        "test_boxfeatures_dir": dirs["test_boxfeatures_dir"],
+    })
+    feat_dim = 2 * VIS_DIM + 5 + 16
+    runner = InferenceRunner(cfg, params["params"], infer, feat_dim)
+
+    n_long = 0
+    for idx in range(ds.num_test_items()):
+        item = ds.get_test_item(idx)
+        if item is None:
+            continue
+        lengths = [f.shape[0] for f in item["so_features_list"]]
+        n_long += sum(l > cfg.max_seq_len for l in lengths)
+        ours = infer_video(runner, item)
+        tin = {
+            "sids": torch.from_numpy(item["sids"]),
+            "oids": torch.from_numpy(item["oids"]),
+            "cat_ids": torch.from_numpy(item["cat_ids"]),
+            "cat_scores": torch.from_numpy(item["cat_scores"]),
+            "traj_durations": torch.from_numpy(item["traj_durations"]),
+            "bboxes_list": [torch.from_numpy(b)
+                            for b in item["bboxes_list"]],
+            "so_features_list": [torch.from_numpy(f.T.copy())
+                                 for f in item["so_features_list"]],
+            "so_offset": torch.from_numpy(item["so_offset"]),
+        }
+        with torch.no_grad():
+            theirs = tm.forward_test(tin)
+        if ours is None:
+            assert theirs is None
+            continue
+
+        def key_set(res):
+            return sorted(
+                (tuple(t), tuple(d))
+                for t, d in zip(res["triplets"], res["pred_durations"]))
+        assert key_set(ours) == key_set(theirs)
+    assert n_long > 0, "fixture produced no long sequences"
