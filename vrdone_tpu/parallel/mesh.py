@@ -41,3 +41,34 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, batch-dim sharded."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def tp_shardings(mesh: Mesh, params, min_size: int = 1 << 16):
+    """Tensor-parallel placement for the parameter pytree.
+
+    Large matmul kernels get their output-feature (last) dimension sharded
+    over the "tp" axis; everything else is replicated. GSPMD then
+    propagates the sharding through the matmuls and inserts the collectives
+    — no model-code changes (this is the "expose a mesh axis" extension
+    noted in SURVEY.md §2.5; the reference has no TP at all).
+
+    Returns a pytree of NamedSharding matching params.
+    """
+    ntp = mesh.shape["tp"]
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if (ntp > 1 and hasattr(x, "shape") and x.ndim >= 2
+                and int(np.prod(x.shape)) >= min_size
+                and x.shape[-1] % ntp == 0):
+            spec = [None] * (x.ndim - 1) + ["tp"]
+            return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree.map(place, params)
+
+
+def shard_params(mesh: Mesh, params, min_size: int = 1 << 16):
+    """device_put params according to tp_shardings."""
+    return jax.tree.map(jax.device_put, params,
+                        tp_shardings(mesh, params, min_size))

@@ -36,16 +36,34 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(cfg: ModelConfig, training_config: dict,
                        num_iters_per_epoch: int, rng: jax.Array,
-                       sample_batch: dict) -> tuple[TrainState, Any]:
+                       sample_batch: dict, mesh: Optional[Mesh] = None,
+                       tp: bool = False,
+                       tp_min_size: int = 1 << 16) -> tuple[TrainState, Any]:
+    """Init model + optimizer state, optionally placed on a mesh.
+
+    With a mesh, params are committed up front (replicated, or with large
+    kernels sharded over "tp" when tp=True) so the EMA copy and optimizer
+    moments inherit the same placement and the first donated step compiles
+    for the final layouts (see commit_state).
+    """
     model = MaskVRD(cfg)
     params = model.init(
         {"params": rng},
         sample_batch["feats"], sample_batch["seq_mask"],
         deterministic=True)["params"]
+    if mesh is not None:
+        if tp:
+            from ..parallel.mesh import shard_params
+            params = shard_params(mesh, params, tp_min_size)
+        else:
+            params = jax.device_put(params, NamedSharding(mesh, P()))
     tx, schedule = optim.build_optimizer(params, training_config,
                                          num_iters_per_epoch)
+    step0 = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        step0 = jax.device_put(step0, NamedSharding(mesh, P()))
     state = TrainState(
-        step=jnp.zeros((), jnp.int32),
+        step=step0,
         params=params,
         ema_params=jax.tree.map(jnp.copy, params),  # distinct buffers: the
         # step donates its input state, params and ema must not alias
@@ -93,12 +111,20 @@ def commit_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, NamedSharding(mesh, P()))
 
 
-def make_jitted_train_step(cfg: ModelConfig, mesh: Optional[Mesh] = None):
+def make_jitted_train_step(cfg: ModelConfig, mesh: Optional[Mesh] = None,
+                           infer_shardings: bool = False):
     """jit train_step; with a mesh, shard the batch over "dp" and replicate
-    state (grad all-reduce is inserted by XLA)."""
+    state (grad all-reduce is inserted by XLA).
+
+    infer_shardings=True drops the explicit replication constraints and
+    lets GSPMD propagate from the committed inputs — required when the
+    state carries tensor-parallel ("tp") shardings from
+    create_train_state(tp=True)."""
     step_fn = functools.partial(train_step, cfg=cfg)
     if mesh is None:
         return jax.jit(step_fn)
+    if infer_shardings:
+        return jax.jit(step_fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
     return jax.jit(
