@@ -91,3 +91,52 @@ def test_detect_and_track_smoke(tmp_path):
     with open(os.path.join(out_dir, "vidA.pkl"), "rb") as f:
         prop = pickle.load(f)["traj_proposal"]
     assert "num_proposals" in prop and "bboxes_list" in prop
+
+
+@pytest.mark.slow
+def test_extract_gt_features_smoke(tmp_path):
+    """Extraction tool end to end (with the global stage enabled) on a
+    synthetic frames+annotations corpus; validates the pickle contract."""
+    from PIL import Image
+    import json as js
+    rng = np.random.default_rng(2)
+    root = str(tmp_path)
+    anno_dir = os.path.join(root, "annotations")
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(anno_dir)
+    name = "vidB"
+    os.makedirs(os.path.join(frames_dir, name))
+    trajectories = []
+    for f in range(4):
+        img = rng.integers(0, 255, (64, 96, 3), np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(frames_dir, name, f"{f + 1:06d}.jpg"))
+        trajectories.append([
+            {"tid": 0, "bbox": {"xmin": 5, "ymin": 5,
+                                "xmax": 40, "ymax": 40}}])
+    anno = {"video_id": name, "height": 64, "width": 96, "frame_count": 4,
+            "subject/objects": [{"tid": 0, "category": "dog"}],
+            "trajectories": trajectories, "relation_instances": []}
+    with open(os.path.join(anno_dir, name + ".json"), "w") as f:
+        js.dump(anno, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out_dir = os.path.join(root, "feats")
+    r = subprocess.run(
+        [sys.executable, "tools/extract_gt_features.py",
+         "--anno_dir", anno_dir, "--frames_dir", frames_dir,
+         "--out_dir", out_dir, "--num_classes", "5",
+         "--box_slots", "4", "--global_frames", "2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import pickle
+    with open(os.path.join(out_dir, name + ".pkl"), "rb") as f:
+        data = pickle.load(f)
+    assert sorted(data.keys()) == [1, 2, 3, 4]
+    for fid, rec in data.items():
+        assert rec["frame_id"] == fid
+        assert rec["visual_features"].shape == (1, 1024)
+        assert rec["tids"].tolist() == [0]

@@ -43,21 +43,72 @@ def load_frame(frames_dir: str, video: str, idx: int) -> np.ndarray:
     return img[..., ::-1]  # RGB -> BGR (Caffe2-lineage preprocessing)
 
 
+def _frame_rois(frame_anno, box_slots):
+    boxes = np.zeros((box_slots, 4), np.float32)
+    valid = np.zeros((box_slots,), bool)
+    for i, b in enumerate(frame_anno[:box_slots]):
+        bb = b["bbox"]
+        boxes[i] = [bb["xmin"], bb["ymin"], bb["xmax"], bb["ymax"]]
+        valid[i] = True
+    return boxes, valid
+
+
 def extract_video(det: MegaDetector, params, anno: dict, frames_dir: str,
                   video: str, *, box_slots: int = 16,
-                  mem_frames: int = 25) -> dict:
+                  mem_frames: int = 25, global_frames: int = 0) -> dict:
+    """Stream one video through the extractor.
+
+    global_frames > 0 enables the MEGA global stage (reference
+    roi_box_feature_extractors.py:658-700 update_global): a first pass
+    collects RAW box features of `global_frames` stride-sampled frames;
+    the per-frame enhancement then attends to that video-level set in
+    addition to the local ring-buffer memory.
+    """
     trajectories = anno["trajectories"]
     n_frames = len(trajectories)
     mem = init_memory(mem_frames, box_slots, 1024)
 
     @jax.jit
-    def step(params, image, rois, rois_valid, mem):
+    def raw_features(params, image, rois):
+        c4 = det.apply(params, image,
+                       method=lambda m, im: m.features(im))[0]
+        return det.apply(params, c4, rois,
+                         method=lambda m, c, r:
+                         m.box_head.visual_features(c, r))
+
+    use_global = global_frames > 0
+    if use_global:
+        g = global_frames * box_slots
+        g_feat = np.zeros((g, 1024), np.float32)
+        g_boxes = np.zeros((g, 4), np.float32)
+        g_valid = np.zeros((g,), bool)
+        annotated = [f for f in range(n_frames) if trajectories[f]]
+        picks = annotated[::max(1, len(annotated) // global_frames)][
+            :global_frames]
+        for slot, fid in enumerate(picks):
+            boxes, valid = _frame_rois(trajectories[fid], box_slots)
+            image = load_frame(frames_dir, video, fid)[None]
+            feats = np.asarray(raw_features(params, jnp.asarray(image),
+                                            jnp.asarray(boxes)))
+            lo = slot * box_slots
+            g_feat[lo:lo + box_slots] = feats * valid[:, None]
+            g_boxes[lo:lo + box_slots] = boxes
+            g_valid[lo:lo + box_slots] = valid
+        g_args = (jnp.asarray(g_feat), jnp.asarray(g_boxes),
+                  jnp.asarray(g_valid))
+    else:
+        g_args = ()
+
+    @jax.jit
+    def step(params, image, rois, rois_valid, mem, *g_args):
         c4 = det.apply(params, image,
                        method=lambda m, im: m.features(im))[0]
         feats = det.apply(
-            params, c4, rois, rois_valid, *mem,
-            method=lambda m, c, r, v, mf, mb, mv:
-            m.extract_box_features(c, r, v, mf, mb, mv))
+            params, c4, rois, rois_valid, *mem, *g_args,
+            method=lambda m, c, r, v, mf, mb, mv, *ga:
+            m.enhancer(m.box_head.visual_features(c, r)
+                       * v[:, None].astype(jnp.float32), r, v,
+                       mf, mb, mv, *ga))
         mem_feat, mem_boxes, mem_valid = mem
         n = rois.shape[0]
         mem_feat = jnp.roll(mem_feat, -n, axis=0).at[-n:].set(feats)
@@ -71,15 +122,10 @@ def extract_video(det: MegaDetector, params, anno: dict, frames_dir: str,
         if len(frame_anno) == 0:
             continue
         tids = np.asarray([b["tid"] for b in frame_anno], np.int64)
-        boxes = np.zeros((box_slots, 4), np.float32)
-        valid = np.zeros((box_slots,), bool)
-        for i, b in enumerate(frame_anno[:box_slots]):
-            bb = b["bbox"]
-            boxes[i] = [bb["xmin"], bb["ymin"], bb["xmax"], bb["ymax"]]
-            valid[i] = True
+        boxes, valid = _frame_rois(frame_anno, box_slots)
         image = load_frame(frames_dir, video, fid)[None]
         feats, mem = step(params, jnp.asarray(image), jnp.asarray(boxes),
-                          jnp.asarray(valid), mem)
+                          jnp.asarray(valid), mem, *g_args)
         n = min(len(tids), box_slots)
         out[fid + 1] = {
             "frame_id": fid + 1,
@@ -97,13 +143,18 @@ def main():
     p.add_argument("--ckpt_path", default=None,
                    help="detector checkpoint (random init if omitted)")
     p.add_argument("--num_classes", type=int, default=35)
+    p.add_argument("--resnet_layers", type=str, default="3,4,23")
     p.add_argument("--part", type=int, default=0)
     p.add_argument("--num_parts", type=int, default=1)
     p.add_argument("--box_slots", type=int, default=16)
+    p.add_argument("--global_frames", type=int, default=0,
+                   help=">0 enables the MEGA global stage with this many "
+                        "stride-sampled frames per video")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
-    det = MegaDetector(num_classes=args.num_classes,
+    layers = tuple(int(x) for x in args.resnet_layers.split(","))
+    det = MegaDetector(num_classes=args.num_classes, resnet_layers=layers,
                        props_per_frame=args.box_slots)
 
     videos = sorted(v[:-5] for v in os.listdir(args.anno_dir)
@@ -126,15 +177,24 @@ def main():
                 rois = jnp.zeros((args.box_slots, 4), jnp.float32)
                 valid = jnp.zeros((args.box_slots,), bool)
                 mem = init_memory(det.mem_frames, args.box_slots, 1024)
+                if args.global_frames > 0:
+                    g = args.global_frames * args.box_slots
+                    gargs = (jnp.zeros((g, 1024), jnp.float32),
+                             jnp.zeros((g, 4), jnp.float32),
+                             jnp.zeros((g,), bool))
+                else:
+                    gargs = ()
 
                 def run(m, im):
                     c4 = m.features(im)[0]
-                    return m.extract_box_features(c4, rois, valid, *mem)
+                    visual = m.box_head.visual_features(c4, rois)
+                    return m.enhancer(visual, rois, valid, *mem, *gargs)
                 params = det.init(jax.random.key(0), jnp.asarray(img),
                                   method=run)
         data = extract_video(det, params, anno, args.frames_dir, video,
                              box_slots=args.box_slots,
-                             mem_frames=det.mem_frames)
+                             mem_frames=det.mem_frames,
+                             global_frames=args.global_frames)
         with open(dst, "wb") as f:
             pickle.dump(data, f)
         print(f"{video}: {len(data)} frames")
