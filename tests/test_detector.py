@@ -158,3 +158,42 @@ def test_gt_feature_extraction_path():
     assert feats.shape == (4, 1024)
     assert np.abs(feats[3]).max() == 0.0  # invalid roi zeroed
     assert np.abs(feats[:3]).max() > 0.0
+
+
+def test_hflip_boxes_involution():
+    from vrdone_tpu.models.detector import hflip_boxes
+    rng = np.random.default_rng(0)
+    b = rng.uniform(0, 100, (5, 2)).astype(np.float32)
+    boxes = np.concatenate([b, b + rng.uniform(5, 30, (5, 2))], axis=1)
+    np.testing.assert_allclose(hflip_boxes(hflip_boxes(boxes, 200), 200),
+                               boxes)
+    flipped = hflip_boxes(boxes, 200)
+    assert (flipped[:, 2] > flipped[:, 0]).all()
+
+
+def test_postprocess_tta_merges_views():
+    from vrdone_tpu.models.detector import (postprocess_frame,
+                                            postprocess_frame_tta,
+                                            hflip_boxes)
+    rng = np.random.default_rng(1)
+    n, k = 12, 3
+    boxes = rng.uniform(0, 60, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + rng.uniform(5, 30, (n, 2))],
+                           axis=1).astype(np.float32)
+    logits = rng.standard_normal((n, k + 1)).astype(np.float32)
+    deltas = np.zeros((n, 4 * (k + 1)), np.float32)
+    valid = np.ones(n, bool)
+    hw = (100, 120)
+
+    single = postprocess_frame(boxes, logits, deltas, valid, hw,
+                               score_thresh=0.1)
+    # a flipped view with identical content (boxes pre-flipped so they
+    # unflip onto the originals) must reproduce the single-view detections
+    # (duplicates suppressed by the shared NMS)
+    both = postprocess_frame_tta(
+        [(boxes, logits, deltas, valid, False),
+         (hflip_boxes(boxes, hw[1]), logits, deltas, valid, True)],
+        hw, score_thresh=0.1)
+    assert len(both["boxes"]) == len(single["boxes"])
+    np.testing.assert_allclose(
+        np.sort(both["scores"]), np.sort(single["scores"]), atol=1e-6)

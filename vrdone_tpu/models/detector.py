@@ -134,18 +134,14 @@ class MegaDetector(nn.Module):
                 "bbox_deltas": bbox_deltas, "visual": visual}
 
 
-def postprocess_frame(boxes: np.ndarray, cls_logits: np.ndarray,
-                      bbox_deltas: np.ndarray, valid: np.ndarray,
-                      image_hw, *, score_thresh: float = 0.05,
-                      nms_thresh: float = 0.5,
-                      dets_per_img: int = 100) -> dict:
-    """Per-class decode + NMS (host-side numpy; mirrors maskrcnn-benchmark
-    PostProcessor semantics). Returns dict of boxes/scores/labels arrays."""
+def _decode_candidates(boxes, cls_logits, bbox_deltas, valid, image_hw,
+                       score_thresh):
+    """Per-class decoded candidate pools: {class: (boxes, scores)}."""
     num_classes = cls_logits.shape[1] - 1
     probs = np.exp(cls_logits - cls_logits.max(-1, keepdims=True))
     probs = probs / probs.sum(-1, keepdims=True)
-    out_boxes, out_scores, out_labels = [], [], []
     h, w = image_hw
+    out = {}
     for c in range(1, num_classes + 1):
         scores_c = probs[:, c]
         keep = (scores_c > score_thresh) & valid
@@ -157,12 +153,61 @@ def postprocess_frame(boxes: np.ndarray, cls_logits: np.ndarray,
             weights=(10.0, 10.0, 5.0, 5.0)))
         boxes_c[:, 0::2] = boxes_c[:, 0::2].clip(0, w - 1)
         boxes_c[:, 1::2] = boxes_c[:, 1::2].clip(0, h - 1)
-        scores_k = scores_c[keep]
+        out[c] = (boxes_c, scores_c[keep])
+    return out
+
+
+def hflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
+    """Mirror xyxy boxes around the vertical image axis."""
+    out = boxes.copy()
+    out[:, 0] = width - 1 - boxes[:, 2]
+    out[:, 2] = width - 1 - boxes[:, 0]
+    return out
+
+
+def postprocess_frame(boxes: np.ndarray, cls_logits: np.ndarray,
+                      bbox_deltas: np.ndarray, valid: np.ndarray,
+                      image_hw, *, score_thresh: float = 0.05,
+                      nms_thresh: float = 0.5,
+                      dets_per_img: int = 100) -> dict:
+    """Per-class decode + NMS (host-side numpy; mirrors maskrcnn-benchmark
+    PostProcessor semantics). Returns dict of boxes/scores/labels arrays."""
+    return postprocess_frame_tta(
+        [(boxes, cls_logits, bbox_deltas, valid, False)], image_hw,
+        score_thresh=score_thresh, nms_thresh=nms_thresh,
+        dets_per_img=dets_per_img)
+
+
+def postprocess_frame_tta(views, image_hw, *, score_thresh: float = 0.05,
+                          nms_thresh: float = 0.5,
+                          dets_per_img: int = 100) -> dict:
+    """Decode + NMS over one or more augmented views.
+
+    views: list of (boxes, cls_logits, bbox_deltas, valid, flipped) — the
+    horizontal-flip test-time augmentation of the reference's bbox_aug
+    (reference mega_core/engine/bbox_aug.py semantics): flipped views are
+    decoded in their own frame, mirrored back, and all candidate pools
+    share one per-class NMS.
+    """
+    h, w = image_hw
+    merged: dict[int, list] = {}
+    for boxes, cls_logits, bbox_deltas, valid, flipped in views:
+        cands = _decode_candidates(boxes, cls_logits, bbox_deltas, valid,
+                                   image_hw, score_thresh)
+        for c, (bx, sc) in cands.items():
+            if flipped:
+                bx = hflip_boxes(bx, w)
+            merged.setdefault(c, []).append((bx, sc))
+
+    out_boxes, out_scores, out_labels = [], [], []
+    for c, pools in merged.items():
+        boxes_c = np.concatenate([b for b, _ in pools])
+        scores_c = np.concatenate([s for _, s in pools])
         keep_idx, keep_valid = box_ops.nms(
-            jnp.asarray(boxes_c), jnp.asarray(scores_k), nms_thresh)
+            jnp.asarray(boxes_c), jnp.asarray(scores_c), nms_thresh)
         ki = np.asarray(keep_idx)[np.asarray(keep_valid)]
         out_boxes.append(boxes_c[ki])
-        out_scores.append(scores_k[ki])
+        out_scores.append(scores_c[ki])
         out_labels.append(np.full(len(ki), c, np.int64))
     if not out_boxes:
         return {"boxes": np.zeros((0, 4), np.float32),
