@@ -140,3 +140,45 @@ def test_extract_gt_features_smoke(tmp_path):
         assert rec["frame_id"] == fid
         assert rec["visual_features"].shape == (1, 1024)
         assert rec["tids"].tolist() == [0]
+
+
+@pytest.mark.slow
+def test_train_detector_coco_mode(tmp_path):
+    """COCO-format image pre-training mode (2 iterations)."""
+    from PIL import Image
+    import json as js
+    rng = np.random.default_rng(3)
+    root = str(tmp_path)
+    images_dir = os.path.join(root, "images")
+    os.makedirs(images_dir)
+    images, annotations = [], []
+    for i in range(3):
+        fname = f"im{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (70, 100, 3),
+                                     np.uint8)).save(
+            os.path.join(images_dir, fname))
+        images.append({"id": i, "file_name": fname})
+        annotations.append({"id": 100 + i, "image_id": i,
+                            "category_id": (i % 3) + 1,
+                            "bbox": [5, 5, 40, 30], "iscrowd": 0})
+    coco = {"images": images, "annotations": annotations,
+            "categories": [{"id": c, "name": f"c{c}"} for c in (1, 2, 3)]}
+    ann_path = os.path.join(root, "coco.json")
+    with open(ann_path, "w") as f:
+        js.dump(coco, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    exp = os.path.join(root, "exp")
+    r = subprocess.run(
+        [sys.executable, "tools/train_detector.py",
+         "--coco_ann", ann_path, "--images_dir", images_dir,
+         "--exp_dir", exp, "--dataset", "vidvrd",
+         "--iters", "2", "--resnet_layers", "1,1,1",
+         "--min_size", "64", "--canvas", "64", "96",
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(exp, "detector_2.ckpt"))

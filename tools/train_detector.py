@@ -56,6 +56,31 @@ def resize_and_pad(img, boxes, min_size, canvas_hw):
     return canvas, boxes * scale, (min(nh, ch), min(nw, cw))
 
 
+def coco_index(coco_ann: str, images_dir: str):
+    """(path, boxes, category_ids) samples from a COCO-format JSON (e.g.
+    the COCO-in-VidVRD subset from tools/build_coco_subset.py) — the
+    reference pre-trains MEGA on COCO-21 + VidVRD jointly
+    (datasets/mega/configs/MEGA/vidvrd_..._freq5.yaml)."""
+    import json as _json
+    from collections import defaultdict as _dd
+    with open(coco_ann) as f:
+        coco = _json.load(f)
+    per_img = _dd(list)
+    for a in coco["annotations"]:
+        x, y, w, h = a["bbox"]
+        per_img[a["image_id"]].append(([x, y, x + w, y + h],
+                                       a["category_id"]))
+    out = []
+    for im in coco["images"]:
+        anns = per_img.get(im["id"])
+        if not anns:
+            continue
+        boxes = np.asarray([b for b, _ in anns], np.float32)
+        cats = np.asarray([c for _, c in anns], np.int64)
+        out.append((os.path.join(images_dir, im["file_name"]), boxes, cats))
+    return out
+
+
 def sample_frames(anno):
     """(frame_idx, boxes (N,4), labels (N,)) for frames with annotations."""
     out = []
@@ -73,8 +98,14 @@ def sample_frames(anno):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--anno_dir", required=True)
-    p.add_argument("--frames_dir", required=True)
+    p.add_argument("--anno_dir", default=None,
+                   help="video annotation JSONs (VidVRD/VidOR mode)")
+    p.add_argument("--frames_dir", default=None)
+    p.add_argument("--coco_ann", default=None,
+                   help="COCO-format instances JSON (image mode; ids must "
+                        "already be dataset entity ids, see "
+                        "tools/build_coco_subset.py)")
+    p.add_argument("--images_dir", default=None)
     p.add_argument("--exp_dir", required=True)
     p.add_argument("--dataset", choices=["vidvrd", "vidor"],
                    default="vidvrd")
@@ -104,18 +135,39 @@ def main():
     mem = init_memory(det.mem_frames, det.props_per_frame, 1024)
     image_hw = jnp.asarray(args.canvas)
 
-    videos = sorted(v[:-5] for v in os.listdir(args.anno_dir)
-                    if v.endswith(".json"))
-    annos = {}
-    for v in videos:
-        with open(os.path.join(args.anno_dir, v + ".json")) as f:
-            annos[v] = json.load(f)
-    index = [(v, *s) for v in videos for s in sample_frames(annos[v])]
-    logger.info(f"{len(videos)} videos, {len(index)} annotated frames")
-
     rng = np.random.default_rng(args.seed)
-    img0 = load_frame(args.frames_dir, index[0][0], index[0][1])
-    canvas0, _, _ = resize_and_pad(img0, index[0][2], args.min_size,
+    if args.coco_ann:
+        assert args.images_dir, "--images_dir required with --coco_ann"
+        coco_samples = coco_index(args.coco_ann, args.images_dir)
+
+        def load_sample(i):
+            from PIL import Image
+            path, boxes, cats_ids = coco_samples[i]
+            img = np.asarray(Image.open(path).convert("RGB"),
+                             np.float32)[..., ::-1]
+            return img, boxes, cats_ids
+        n_samples = len(coco_samples)
+        logger.info(f"COCO mode: {n_samples} images")
+        cats_are_ids = True
+    else:
+        assert args.anno_dir and args.frames_dir
+        videos = sorted(v[:-5] for v in os.listdir(args.anno_dir)
+                        if v.endswith(".json"))
+        annos = {}
+        for v in videos:
+            with open(os.path.join(args.anno_dir, v + ".json")) as f:
+                annos[v] = json.load(f)
+        index = [(v, *s) for v in videos for s in sample_frames(annos[v])]
+        logger.info(f"{len(videos)} videos, {len(index)} annotated frames")
+
+        def load_sample(i):
+            v, fid, boxes, cats = index[i]
+            return load_frame(args.frames_dir, v, fid), boxes, cats
+        n_samples = len(index)
+        cats_are_ids = False
+
+    img0, boxes0, _ = load_sample(0)
+    canvas0, _, _ = resize_and_pad(img0, boxes0, args.min_size,
                                    args.canvas)
 
     def init_run(m, image):
@@ -150,8 +202,7 @@ def main():
     key = jax.random.key(args.seed)
     t0 = time.time()
     for it in range(args.iters):
-        v, fid, boxes, cats = index[int(rng.integers(0, len(index)))]
-        img = load_frame(args.frames_dir, v, fid)
+        img, boxes, cats = load_sample(int(rng.integers(0, n_samples)))
         canvas, boxes_r, _ = resize_and_pad(img, boxes, args.min_size,
                                             args.canvas)
         g = args.max_gt
@@ -160,7 +211,8 @@ def main():
         gt_valid = np.zeros((g,), bool)
         n = min(len(boxes_r), g)
         gt_boxes[:n] = boxes_r[:n]
-        gt_labels[:n] = [name_to_id[c] for c in cats[:n]]
+        gt_labels[:n] = (np.asarray(cats[:n], np.int32) if cats_are_ids
+                         else [name_to_id[c] for c in cats[:n]])
         gt_valid[:n] = True
 
         params, opt_state, losses = step(
