@@ -13,7 +13,6 @@ the valid-position outputs do not depend on the padded length.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import numpy as np

@@ -16,9 +16,6 @@ transplants torchvision-format ResNet state dicts when available.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import numpy as np
 
 import jax

@@ -21,12 +21,10 @@ key+refs scheme with a fixed number of reference frames.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.boxes import box_iou
 from . import rpn as rpn_lib

@@ -21,7 +21,7 @@ start at 1e-4, rel-PE uses trunc-normal std sqrt(2/C).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ Training batch contract (see vrdone_tpu/data/batching.py):
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

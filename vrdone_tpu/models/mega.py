@@ -20,9 +20,6 @@ anti-XLA; here the same computation is expressed as:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import numpy as np
 
 import jax

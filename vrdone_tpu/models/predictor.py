@@ -9,7 +9,6 @@ Mirrors reference MaskedTransformerPredictor (models/predictor.py:15-125).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Reproduces the reference recipe (reference utils/train_utils.py):
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax
