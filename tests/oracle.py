@@ -260,3 +260,172 @@ def maskvrd_params(m):
         "neck": fpn_params(m.neck),
         "predictor": predictor_params(m.predictor),
     }
+
+
+# ---------------------------------------------------------------------------
+# MEGA detector-head oracle (reference datasets/mega/mega_core)
+# ---------------------------------------------------------------------------
+
+MEGA_PATH = "/root/reference/datasets/mega"
+
+
+def load_mega_reference():
+    """Import the reference MEGA roi_box_feature_extractors module.
+
+    mega_core transitively imports yacs and torchvision (absent here) and
+    probes nvidia-smi at import; none of those surfaces are used by the
+    attention code paths we test, so minimal inert stand-ins are
+    installed before import. The math under test is 100% reference code.
+    """
+    import types
+
+    class _CN(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def clone(self):
+            import copy
+            return copy.deepcopy(self)
+
+        def merge_from_file(self, f):
+            pass
+
+        def merge_from_list(self, lst):
+            pass
+
+        def freeze(self):
+            pass
+
+    if "yacs" not in sys.modules:
+        yacs = types.ModuleType("yacs")
+        yacs_config = types.ModuleType("yacs.config")
+        yacs_config.CfgNode = _CN
+        yacs.config = yacs_config
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = yacs_config
+    if "torchvision" not in sys.modules:
+        def _unavail(*a, **k):
+            raise RuntimeError("torchvision op unavailable in oracle")
+
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_ops.nms = _unavail
+        tv_ops.roi_align = _unavail
+        tv_ops.roi_pool = _unavail
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+    if "mega_core.utils.distributed" not in sys.modules:
+        # its import shells out to nvidia-smi
+        dist_stub = types.ModuleType("mega_core.utils.distributed")
+        dist_stub.gpu_indices = lambda divisible=True: []
+        dist_stub.ompi_size = lambda: 1
+        dist_stub.ompi_rank = lambda: 0
+        sys.modules["mega_core.utils.distributed"] = dist_stub
+
+    if MEGA_PATH not in sys.path:
+        sys.path.insert(0, MEGA_PATH)
+    from mega_core.modeling.roi_heads.box_head import (
+        roi_box_feature_extractors as rbfe)
+    return rbfe
+
+
+def make_reference_mega(rbfe, *, in_dim, feat_dim, groups, stage,
+                        global_res_stage, advanced_num, base_num,
+                        memory_size=25, global_size=10,
+                        all_frame_interval=25, seed=0):
+    """Instantiate MEGAFeatureExtractor with hand-built parameter lists
+    (bypassing the cfg/ResNet-head __init__, which needs torchvision);
+    every method under test (attention_module_multi_head,
+    cal_position_embedding, _forward_{train,test}_single, update_lm,
+    update_memory, init_memory/init_global/update_global) runs unmodified
+    reference code."""
+    import torch
+    from torch import nn
+
+    torch.manual_seed(seed)
+    M = rbfe.MEGAFeatureExtractor.__new__(rbfe.MEGAFeatureExtractor)
+    nn.Module.__init__(M)
+    M.embed_dim = 64
+    M.groups = groups
+    M.feat_dim = feat_dim
+    M.stage = stage
+    M.base_num = base_num
+    M.advanced_num = advanced_num
+    M.all_frame_interval = all_frame_interval
+    M.memory_enable = True
+    M.memory_size = memory_size
+    M.global_enable = True
+    M.global_size = global_size
+    M.global_res_stage = global_res_stage
+
+    def mk_fc(i):
+        return nn.Linear(in_dim if i == 0 else feat_dim, feat_dim)
+
+    fcs, Wgs, Wqs, Wks, Wvs, us = [], [], [], [], [], []
+    for i in range(stage):
+        fcs.append(mk_fc(i))
+        Wgs.append(nn.Conv2d(M.embed_dim, groups, 1))
+        Wqs.append(nn.Linear(feat_dim, feat_dim))
+        Wks.append(nn.Linear(feat_dim, feat_dim))
+        Wvs.append(nn.Conv2d(feat_dim * groups, feat_dim, 1, groups=groups))
+        us.append(nn.Parameter(torch.randn(groups, 1, feat_dim // groups)))
+    M.l_fcs = nn.ModuleList(fcs)
+    M.l_Wgs = nn.ModuleList(Wgs)
+    M.l_Wqs = nn.ModuleList(Wqs)
+    M.l_Wks = nn.ModuleList(Wks)
+    M.l_Wvs = nn.ModuleList(Wvs)
+    M.l_us = nn.ParameterList(us)
+
+    Wqs, Wks, Wvs, us = [], [], [], []
+    for i in range(global_res_stage + 1):
+        Wqs.append(nn.Linear(feat_dim, feat_dim))
+        Wks.append(nn.Linear(feat_dim, feat_dim))
+        Wvs.append(nn.Conv2d(feat_dim * groups, feat_dim, 1, groups=groups))
+        us.append(nn.Parameter(torch.randn(groups, 1, feat_dim // groups)))
+    M.g_Wqs = nn.ModuleList(Wqs)
+    M.g_Wks = nn.ModuleList(Wks)
+    M.g_Wvs = nn.ModuleList(Wvs)
+    M.g_us = nn.ParameterList(us)
+    M.eval()
+    return M
+
+
+def mega_head_params(M):
+    """Reference MEGAFeatureExtractor module lists -> our MEGAHead params."""
+    g = M.groups
+    fd = M.feat_dim
+    dg = fd // g
+
+    def lin(l):
+        return {"kernel": t2n(l.weight).T, "bias": t2n(l.bias)}
+
+    def conv1x1(l, out_first=True):
+        w = t2n(l.weight)[:, :, 0, 0]          # (out, in)
+        return {"kernel": w.T, "bias": t2n(l.bias)}
+
+    def grouped(l):
+        w = t2n(l.weight)[:, :, 0, 0]          # (fd, fd) grouped
+        kern = np.stack([w[i * dg:(i + 1) * dg, :].T for i in range(g)])
+        return {"kernel": kern, "bias": t2n(l.bias)}
+
+    p = {}
+    for i in range(M.stage):
+        p[f"l_fc{i}"] = lin(M.l_fcs[i])
+        p[f"l_Wg{i}"] = conv1x1(M.l_Wgs[i])
+        p[f"l_Wq{i}"] = lin(M.l_Wqs[i])
+        p[f"l_Wk{i}"] = lin(M.l_Wks[i])
+        p[f"l_Wv{i}"] = grouped(M.l_Wvs[i])
+        p[f"l_u{i}"] = t2n(M.l_us[i])[:, 0, :]
+    for i in range(M.global_res_stage + 1):
+        p[f"g_Wq{i}"] = lin(M.g_Wqs[i])
+        p[f"g_Wk{i}"] = lin(M.g_Wks[i])
+        p[f"g_Wv{i}"] = grouped(M.g_Wvs[i])
+        p[f"g_u{i}"] = t2n(M.g_us[i])[:, 0, :]
+    return p

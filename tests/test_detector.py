@@ -1,5 +1,6 @@
-"""Detector-stage tests: shapes, masking, scan-vs-loop equivalence of the
-ring-buffer memory, and RPN proposal machinery."""
+"""Detector-stage tests: RPN machinery, whole-video MEGA detection
+(enhanced features feed the predictions; memory influences detections),
+GT feature extraction, and TTA post-processing."""
 
 import numpy as np
 import pytest
@@ -8,8 +9,9 @@ import jax
 import jax.numpy as jnp
 
 from vrdone_tpu.models import rpn as rpn_lib
-from vrdone_tpu.models.detector import MegaDetector, postprocess_frame
-from vrdone_tpu.models.mega import MegaEnhancer, init_memory, scan_video
+from vrdone_tpu.models.detector import (MegaDetector, detect_video,
+                                        extract_video_features,
+                                        postprocess_frame)
 
 
 def test_anchor_grid():
@@ -52,112 +54,73 @@ def test_select_proposals_static_shapes():
     assert (np.diff(s) <= 1e-6).all()  # score-sorted
 
 
-def test_mega_scan_matches_python_loop():
-    """lax.scan ring buffer == explicit python-loop deque semantics."""
-    d, n, t, mem = 32, 4, 6, 3
-    enh = MegaEnhancer(feat_dim=d, n_head=4, num_stages=1, mem_frames=mem,
-                       props_per_frame=n)
-    rng = np.random.default_rng(2)
-    feats = rng.standard_normal((t, n, d)).astype(np.float32)
-    boxes = rng.uniform(0, 100, (t, n, 4)).astype(np.float32)
-    boxes[..., 2:] += boxes[..., :2]
-    valid = rng.random((t, n)) < 0.8
-    valid[:, 0] = True
-
-    mem_feat, mem_boxes, mem_valid = init_memory(mem, n, d)
-    params = enh.init(jax.random.key(0), jnp.asarray(feats[0]),
-                      jnp.asarray(boxes[0]), jnp.asarray(valid[0]),
-                      mem_feat, mem_boxes, mem_valid)
-
-    def apply_fn(p, f, b, vl, mf, mb, mv):
-        return enh.apply(p, f, b, vl, mf, mb, mv)
-
-    scanned = scan_video(apply_fn, params, jnp.asarray(feats),
-                         jnp.asarray(boxes), jnp.asarray(valid),
-                         mem_frames=mem)
-
-    # python loop reference
-    mf, mb, mv = init_memory(mem, n, d)
-    outs = []
-    for i in range(t):
-        o = apply_fn(params, jnp.asarray(feats[i]), jnp.asarray(boxes[i]),
-                     jnp.asarray(valid[i]), mf, mb, mv)
-        outs.append(np.asarray(o))
-        mf = jnp.roll(mf, -n, axis=0).at[-n:].set(jnp.asarray(feats[i]))
-        mb = jnp.roll(mb, -n, axis=0).at[-n:].set(jnp.asarray(boxes[i]))
-        mv = jnp.roll(mv, -n, axis=0).at[-n:].set(jnp.asarray(valid[i]))
-    np.testing.assert_allclose(np.asarray(scanned), np.stack(outs),
-                               atol=1e-5, rtol=1e-5)
-
-
-def test_enhancer_masks_invalid():
-    """Invalid memory slots must not influence the output."""
-    d, n, mem = 32, 4, 2
-    enh = MegaEnhancer(feat_dim=d, n_head=4, num_stages=1, mem_frames=mem,
-                       props_per_frame=n)
-    rng = np.random.default_rng(3)
-    f = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    b = jnp.asarray(np.abs(rng.uniform(0, 50, (n, 4))).astype(np.float32))
-    b = b.at[:, 2:].add(b[:, :2])
-    vl = jnp.ones((n,), bool)
-    mf, mb, mv = init_memory(mem, n, d)
-    params = enh.init(jax.random.key(0), f, b, vl, mf, mb, mv)
-    out1 = np.asarray(enh.apply(params, f, b, vl, mf, mb, mv))
-    # scribble on invalid memory slots
-    mf2 = mf + 123.0
-    out2 = np.asarray(enh.apply(params, f, b, vl, mf2, mb, mv))
-    np.testing.assert_allclose(out1, out2, atol=1e-5)
+def _tiny_detector():
+    return MegaDetector(num_classes=5, resnet_layers=(1, 1, 1),
+                        stage=2, groups=4, base_num=4, window=3,
+                        key_loc=1, global_size=2, global_res_stage=1)
 
 
 @pytest.mark.slow
-def test_detector_end_to_end_shapes():
-    det = MegaDetector(num_classes=35, resnet_layers=(1, 1, 1),
-                       mem_frames=2, props_per_frame=8, enhancer_stages=1)
+def test_detect_video_end_to_end():
+    """Whole-video detection: shapes, finiteness, and the MEGA memory
+    property — frame t's detections change when an EARLIER frame's
+    content changes (the enhanced features feed cls/bbox predictions)."""
+    det = _tiny_detector()
     rng = np.random.default_rng(4)
-    img = jnp.asarray(rng.uniform(0, 255, (1, 128, 160, 3)).astype(np.float32))
+    t = 4
+    images = rng.uniform(0, 255, (t, 96, 128, 3)).astype(np.float32)
+    hw = np.asarray([96, 128], np.float32)
 
-    mf, mb, mv = init_memory(2, 8, 1024)
+    from tools.detect_and_track import init_detector_params
+    params = init_detector_params(det, images[0], jnp.asarray(hw),
+                                  key_post_nms=8)
+    out = detect_video(det, params, images, hw, key_post_nms=8)
+    assert out["proposals"].shape == (t, 8, 4)
+    assert out["cls_logits"].shape == (t, 8, 6)
+    assert out["bbox_deltas"].shape == (t, 8, 24)
+    assert out["visual"].shape == (t, 8, 1024)
+    assert np.isfinite(out["cls_logits"]).all()
 
-    def run(m, image):
-        c4 = m.features(image)[0]
-        return m.detect_frame(c4, jnp.asarray([128, 160]), mf, mb, mv,
-                              post_nms_top_n=8)
-
-    params = det.init(jax.random.key(0), img, method=run)
-    out = det.apply(params, img, method=run)
-    assert out["proposals"].shape == (8, 4)
-    assert out["cls_logits"].shape == (8, 36)
-    assert out["bbox_deltas"].shape == (8, 4 * 36)
-    assert out["visual"].shape == (8, 1024)
-
-    res = postprocess_frame(np.asarray(out["proposals"]),
-                            np.asarray(out["cls_logits"]),
-                            np.asarray(out["bbox_deltas"]),
-                            np.asarray(out["valid"]), (128, 160))
+    res = postprocess_frame(out["proposals"][0], out["cls_logits"][0],
+                            out["bbox_deltas"][0], out["valid"][0],
+                            (96, 128))
     assert res["boxes"].shape[1] == 4
     assert len(res["scores"]) == len(res["labels"]) == len(res["boxes"])
+
+    # memory/window influence: change frame 0, logits at frame 3 move
+    images2 = images.copy()
+    images2[0] = rng.uniform(0, 255, (96, 128, 3)).astype(np.float32)
+    out2 = detect_video(det, params, images2, hw, key_post_nms=8)
+    diff = np.abs(out2["cls_logits"][3] - out["cls_logits"][3]).max()
+    assert diff > 1e-6, "later-frame detections ignore earlier frames"
 
 
 @pytest.mark.slow
 def test_gt_feature_extraction_path():
-    det = MegaDetector(num_classes=35, resnet_layers=(1, 1, 1),
-                       mem_frames=2, props_per_frame=4, enhancer_stages=1)
+    det = _tiny_detector()
     rng = np.random.default_rng(5)
-    img = jnp.asarray(rng.uniform(0, 255, (1, 96, 96, 3)).astype(np.float32))
-    rois = jnp.asarray(np.array([[4, 4, 40, 40], [10, 20, 60, 80],
-                                 [0, 0, 95, 95], [0, 0, 1, 1]], np.float32))
-    rois_valid = jnp.asarray([True, True, True, False])
-    mf, mb, mv = init_memory(2, 4, 1024)
+    t, n = 3, 4
+    images = rng.uniform(0, 255, (t, 96, 96, 3)).astype(np.float32)
+    rois = np.tile(np.array([[4, 4, 40, 40], [10, 20, 60, 80],
+                             [0, 0, 95, 95], [0, 0, 1, 1]], np.float32),
+                   (t, 1, 1))
+    valid = np.tile(np.array([True, True, True, False]), (t, 1))
 
-    def run(m, image):
-        c4 = m.features(image)[0]
-        return m.extract_box_features(c4, rois, rois_valid, mf, mb, mv)
+    from tools.extract_gt_features import init_extractor_params
+    import tempfile
+    import os
+    from PIL import Image
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(os.path.join(d, "v0"))
+        Image.fromarray(images[0].astype(np.uint8)).save(
+            os.path.join(d, "v0", "000001.jpg"))
+        params = init_extractor_params(det, d, "v0", n)
 
-    params = det.init(jax.random.key(0), img, method=run)
-    feats = np.asarray(det.apply(params, img, method=run))
-    assert feats.shape == (4, 1024)
-    assert np.abs(feats[3]).max() == 0.0  # invalid roi zeroed
-    assert np.abs(feats[:3]).max() > 0.0
+    feats = extract_video_features(det, params, images, rois, valid,
+                                   batch=2)
+    assert feats.shape == (t, n, 1024)
+    assert np.abs(feats[:, 3]).max() == 0.0  # invalid roi zeroed
+    assert np.abs(feats[:, :3]).max() > 0.0
 
 
 def test_hflip_boxes_involution():
@@ -191,9 +154,48 @@ def test_postprocess_tta_merges_views():
     # unflip onto the originals) must reproduce the single-view detections
     # (duplicates suppressed by the shared NMS)
     both = postprocess_frame_tta(
-        [(boxes, logits, deltas, valid, False),
-         (hflip_boxes(boxes, hw[1]), logits, deltas, valid, True)],
+        [(boxes, logits, deltas, valid, None),
+         (hflip_boxes(boxes, hw[1]), logits, deltas, valid, "hflip")],
         hw, score_thresh=0.1)
     assert len(both["boxes"]) == len(single["boxes"])
     np.testing.assert_allclose(
         np.sort(both["scores"]), np.sort(single["scores"]), atol=1e-6)
+
+
+def test_postprocess_tta_multiscale():
+    """A 2x-scaled view (boxes computed in the scaled frame) must map
+    back onto the original detections — reference bbox_aug multi-scale
+    semantics (mega_core/engine/bbox_aug.py:33-47)."""
+    from vrdone_tpu.models.detector import (postprocess_frame,
+                                            postprocess_frame_tta,
+                                            scale_boxes, hflip_boxes)
+    rng = np.random.default_rng(2)
+    n, k = 10, 3
+    boxes = rng.uniform(0, 50, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + rng.uniform(5, 25, (n, 2))],
+                           axis=1).astype(np.float32)
+    logits = rng.standard_normal((n, k + 1)).astype(np.float32)
+    deltas = np.zeros((n, 4 * (k + 1)), np.float32)
+    valid = np.ones(n, bool)
+    hw = (100, 120)
+
+    single = postprocess_frame(boxes, logits, deltas, valid, hw,
+                               score_thresh=0.1)
+    scaled = postprocess_frame_tta(
+        [(boxes, logits, deltas, valid, None),
+         (scale_boxes(boxes, (2.0, 2.0)), logits, deltas, valid,
+          ("scale", 2.0, 2.0))],
+        hw, score_thresh=0.1)
+    assert len(scaled["boxes"]) == len(single["boxes"])
+    np.testing.assert_allclose(np.sort(scaled["scores"]),
+                               np.sort(single["scores"]), atol=1e-6)
+
+    # scale+hflip view composes both mappings
+    v = hflip_boxes(scale_boxes(boxes, (2.0, 2.0)), hw[1] * 2.0)
+    combo = postprocess_frame_tta(
+        [(boxes, logits, deltas, valid, None),
+         (v, logits, deltas, valid, ("scale_hflip", 2.0, 2.0))],
+        hw, score_thresh=0.1)
+    assert len(combo["boxes"]) == len(single["boxes"])
+    np.testing.assert_allclose(np.sort(combo["scores"]),
+                               np.sort(single["scores"]), atol=1e-6)

@@ -53,7 +53,9 @@ def test_train_detector_smoke(tmp_path):
          "--exp_dir", exp, "--dataset", "vidvrd",
          "--iters", "2", "--resnet_layers", "1,1,1",
          "--min_size", "64", "--canvas", "64", "96",
-         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2"],
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2",
+         "--n_local", "1", "--n_mem", "1", "--n_glob", "1",
+         "--base_num", "4", "--post_nms_top_n", "8"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]
@@ -83,6 +85,7 @@ def test_detect_and_track_smoke(tmp_path):
          "--frames_dir", frames_dir, "--out_dir", out_dir,
          "--num_classes", "5", "--resnet_layers", "1,1,1",
          "--canvas", "64", "96", "--post_nms_top_n", "8",
+         "--base_num", "4", "--window", "3", "--global_size", "2",
          "--score_thresh", "0.01"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=1200)
@@ -128,7 +131,8 @@ def test_extract_gt_features_smoke(tmp_path):
         [sys.executable, "tools/extract_gt_features.py",
          "--anno_dir", anno_dir, "--frames_dir", frames_dir,
          "--out_dir", out_dir, "--num_classes", "5",
-         "--box_slots", "4", "--global_frames", "2"],
+         "--resnet_layers", "1,1,1",
+         "--box_slots", "4", "--window", "3", "--global_size", "2"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]
@@ -177,7 +181,9 @@ def test_train_detector_coco_mode(tmp_path):
          "--exp_dir", exp, "--dataset", "vidvrd",
          "--iters", "2", "--resnet_layers", "1,1,1",
          "--min_size", "64", "--canvas", "64", "96",
-         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2"],
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2",
+         "--n_local", "1", "--n_mem", "1", "--n_glob", "1",
+         "--base_num", "4", "--post_nms_top_n", "8"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]

@@ -4,7 +4,9 @@ End-to-end proposal generation with no external dependency: the reference
 stack consumes tracklets *released* by VidSGG-BIG; this tool produces the
 same per-video {"traj_proposal": ...} pickle from our own detector + IoU
 tracker, so the full pipeline (video -> frames -> detections -> tracklets
--> SO-pair relation detection) runs inside this framework.
+-> SO-pair relation detection) runs inside this framework. Detection uses
+the full MEGA semantics (sliding window + per-stage memory + global set,
+models/detector.py detect_video), classifying from the enhanced features.
 """
 
 from __future__ import annotations
@@ -24,9 +26,57 @@ import jax.numpy as jnp
 
 from vrdone_tpu.data.proposals import build_traj_proposal
 from vrdone_tpu.data.tracking import IoUTracker
-from vrdone_tpu.models.detector import MegaDetector, postprocess_frame
-from vrdone_tpu.models.mega import init_memory
+from vrdone_tpu.models.detector import (MegaDetector, detect_video,
+                                        postprocess_frame)
 from vrdone_tpu.train.checkpoint import restore_params_for_eval
+
+
+class FrameLoader:
+    """Lazy per-frame canvas loader for detect_video."""
+
+    def __init__(self, frames_dir, video, frames, canvas_hw):
+        self.frames_dir = frames_dir
+        self.video = video
+        self.frames = frames
+        self.canvas_hw = canvas_hw
+        self.image_wh = None
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i):
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(self.frames_dir, self.video, self.frames[i])),
+            np.float32)[..., ::-1]
+        h, w = img.shape[:2]
+        self.image_wh = (w, h)
+        ch, cw = self.canvas_hw
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:min(h, ch), :min(w, cw)] = img[:ch, :cw]
+        return canvas
+
+
+def init_detector_params(det: MegaDetector, canvas: np.ndarray,
+                         image_hw, *, key_post_nms: int, seed: int = 0):
+    """Initialize every parameter the detection path touches."""
+    from vrdone_tpu.models.mega import BoxSet, flatten_set
+
+    def run(m):
+        c4 = m.features(jnp.asarray(canvas[None]))[0]
+        kb, _, kv = m.propose(c4, image_hw, post_nms_top_n=key_post_nms)
+        rb, _, rv = m.propose(c4, image_hw, post_nms_top_n=det.base_num)
+        key_fc0 = m.frame_fc0(c4, kb, kv)
+        ref_fc0 = m.frame_fc0(c4, rb, rv)
+        win = BoxSet(jnp.repeat(ref_fc0[None], det.window, 0),
+                     jnp.repeat(rb[None], det.window, 0),
+                     jnp.repeat(rv[None], det.window, 0))
+        glob = flatten_set(BoxSet(ref_fc0[None], rb[None], rv[None]))
+        x = m.enhance(key_fc0, kb, kv, win, None,
+                      glob if det.global_enable else None,
+                      key_is_fc0=True)
+        return m.box_head.predictions(x)
+    return jax.jit(lambda k: det.init(k, method=run))(jax.random.key(seed))
 
 
 def main():
@@ -39,34 +89,25 @@ def main():
     p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
     p.add_argument("--score_thresh", type=float, default=0.4)
     p.add_argument("--max_proposal", type=int, default=180)
-    p.add_argument("--post_nms_top_n", type=int, default=64)
+    p.add_argument("--post_nms_top_n", type=int, default=64,
+                   help="key-frame proposals per frame")
+    p.add_argument("--base_num", type=int, default=16,
+                   help="window/global ref proposals per frame")
+    p.add_argument("--window", type=int, default=25)
+    p.add_argument("--global_size", type=int, default=10)
     p.add_argument("--part", type=int, default=0)
     p.add_argument("--num_parts", type=int, default=1)
     args = p.parse_args()
 
-    from PIL import Image
     os.makedirs(args.out_dir, exist_ok=True)
     layers = tuple(int(x) for x in args.resnet_layers.split(","))
     det = MegaDetector(num_classes=args.num_classes, resnet_layers=layers,
-                       props_per_frame=args.post_nms_top_n)
-    mem0 = init_memory(det.mem_frames, args.post_nms_top_n, 1024)
+                       base_num=args.base_num, window=args.window,
+                       key_loc=args.window // 2,
+                       global_size=args.global_size,
+                       global_enable=args.global_size > 0)
     ch, cw = args.canvas
     image_hw = jnp.asarray(args.canvas)
-
-    @jax.jit
-    def detect(params, image, mem):
-        c4 = det.apply(params, image,
-                       method=lambda m, im: m.features(im))[0]
-        out = det.apply(params, c4, image_hw, *mem,
-                        method=lambda m, c, hw, mf, mb, mv:
-                        m.detect_frame(c, hw, mf, mb, mv,
-                                       post_nms_top_n=args.post_nms_top_n))
-        mf, mb, mv = mem
-        n = out["proposals"].shape[0]
-        mf = jnp.roll(mf, -n, axis=0).at[-n:].set(out["visual"])
-        mb = jnp.roll(mb, -n, axis=0).at[-n:].set(out["proposals"])
-        mv = jnp.roll(mv, -n, axis=0).at[-n:].set(out["valid"])
-        return out, (mf, mb, mv)
 
     videos = sorted(os.listdir(args.frames_dir))[args.part::args.num_parts]
     params = None
@@ -75,36 +116,26 @@ def main():
         if os.path.exists(dst):
             continue
         frames = sorted(os.listdir(os.path.join(args.frames_dir, video)))
+        loader = FrameLoader(args.frames_dir, video, frames, (ch, cw))
+        if params is None:
+            if args.ckpt_path:
+                params = {"params": restore_params_for_eval(
+                    args.ckpt_path, None)}
+            else:
+                params = init_detector_params(
+                    det, loader[0], image_hw,
+                    key_post_nms=args.post_nms_top_n)
+        out = detect_video(det, params, loader, np.asarray(args.canvas),
+                           key_post_nms=args.post_nms_top_n)
+
         tracker = IoUTracker()
-        mem = mem0
-        for fid, fname in enumerate(frames):
-            img = np.asarray(Image.open(
-                os.path.join(args.frames_dir, video, fname)),
-                np.float32)[..., ::-1]
-            h, w = img.shape[:2]
-            canvas = np.zeros((ch, cw, 3), np.float32)
-            canvas[:min(h, ch), :min(w, cw)] = img[:ch, :cw]
-            if params is None:
-                if args.ckpt_path:
-                    params = {"params": restore_params_for_eval(
-                        args.ckpt_path, None)}
-                else:
-                    def init_run(m, im):
-                        c4 = m.features(im)[0]
-                        return m.detect_frame(
-                            c4, image_hw, *mem0,
-                            post_nms_top_n=args.post_nms_top_n)
-                    params = det.init(jax.random.key(0),
-                                      jnp.asarray(canvas[None]),
-                                      method=init_run)
-            out, mem = detect(params, jnp.asarray(canvas[None]), mem)
+        for fid in range(len(frames)):
             res = postprocess_frame(
-                np.asarray(out["proposals"]), np.asarray(out["cls_logits"]),
-                np.asarray(out["bbox_deltas"]), np.asarray(out["valid"]),
-                (h, w), score_thresh=args.score_thresh)
-            # per-box visual features: nearest proposal's enhanced feature
-            visual = np.asarray(out["visual"])
-            props = np.asarray(out["proposals"])
+                out["proposals"][fid], out["cls_logits"][fid],
+                out["bbox_deltas"][fid], out["valid"][fid],
+                tuple(args.canvas), score_thresh=args.score_thresh)
+            visual = out["visual"][fid]
+            props = out["proposals"][fid]
             feats = np.zeros((len(res["boxes"]), 1024), np.float32)
             if len(res["boxes"]):
                 from vrdone_tpu.data.tracking import iou_matrix
@@ -113,6 +144,7 @@ def main():
             tracker.update(fid, res["boxes"], res["labels"],
                            res["scores"], feats)
         tracks = tracker.finish()
+        w, h = loader.image_wh
         prop = build_traj_proposal(video, tracks, (w, h), len(frames),
                                    max_proposal=args.max_proposal)
         with open(dst, "wb") as f:

@@ -1,18 +1,22 @@
 """Extract per-frame GT-box RoI features for relation-model training.
 
 TPU-native counterpart of reference
-datasets/mega/extract_gt_features_vidvrd.py (+_vidor): for each video, run
-frames through the MegaDetector backbone, RoIAlign the annotated GT boxes,
-enhance with the relation-attention ring-buffer memory, and write the
-per-video pickle contract the dataloaders consume:
+datasets/mega/extract_gt_features_vidvrd.py (+_vidor): for each video,
+compute fc0-level features of the annotated GT boxes in one batched
+backbone pass, then stream the frames through the full MEGA head
+(25-frame sliding window, per-stage long-range memory, shuffled global
+set — reference feature_extractor_vidvrd.py) and write the per-video
+pickle contract the dataloaders consume:
 
     {frame_id(1-based): {"frame_id": int, "tids": int64[n],
                          "visual_features": float32[n, 1024]}}
 
-Frames are processed in fixed-size box slots (padded + masked) so a whole
-video is two compiled XLA programs (backbone batch + per-frame head scan).
-Part sharding (--part/--num_parts) mirrors the reference's 8/700-part
-loops so extraction can fan out across hosts.
+As in the reference, the streamed frame sequence contains only annotated
+frames (filtered_frame_idx). Frames are processed in fixed-size box slots
+(padded + masked) so a whole video is two compiled XLA programs (batched
+fc0 precompute + the set-attention scan). Part sharding (--part/
+--num_parts) mirrors the reference's 8/700-part loops so extraction can
+fan out across hosts.
 """
 
 from __future__ import annotations
@@ -28,11 +32,7 @@ import pickle
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-from vrdone_tpu.models.detector import MegaDetector
-from vrdone_tpu.models.mega import init_memory
+from vrdone_tpu.models.detector import MegaDetector, extract_video_features
 from vrdone_tpu.train.checkpoint import restore_params_for_eval
 
 
@@ -55,84 +55,60 @@ def _frame_rois(frame_anno, box_slots):
 
 def extract_video(det: MegaDetector, params, anno: dict, frames_dir: str,
                   video: str, *, box_slots: int = 16,
-                  mem_frames: int = 25, global_frames: int = 0) -> dict:
-    """Stream one video through the extractor.
-
-    global_frames > 0 enables the MEGA global stage (reference
-    roi_box_feature_extractors.py:658-700 update_global): a first pass
-    collects RAW box features of `global_frames` stride-sampled frames;
-    the per-frame enhancement then attends to that video-level set in
-    addition to the local ring-buffer memory.
-    """
+                  seed: int = 0) -> dict:
+    """Stream one video's annotated frames through the MEGA extractor."""
     trajectories = anno["trajectories"]
-    n_frames = len(trajectories)
-    mem = init_memory(mem_frames, box_slots, 1024)
+    fids = [f for f in range(len(trajectories)) if trajectories[f]]
+    if not fids:
+        return {}
 
-    @jax.jit
-    def raw_features(params, image, rois):
-        c4 = det.apply(params, image,
-                       method=lambda m, im: m.features(im))[0]
-        return det.apply(params, c4, rois,
-                         method=lambda m, c, r:
-                         m.box_head.visual_features(c, r))
+    rois = np.zeros((len(fids), box_slots, 4), np.float32)
+    valid = np.zeros((len(fids), box_slots), bool)
+    tids = []
+    for i, fid in enumerate(fids):
+        rois[i], valid[i] = _frame_rois(trajectories[fid], box_slots)
+        tids.append(np.asarray([b["tid"] for b in trajectories[fid]],
+                               np.int64))
 
-    use_global = global_frames > 0
-    if use_global:
-        g = global_frames * box_slots
-        g_feat = np.zeros((g, 1024), np.float32)
-        g_boxes = np.zeros((g, 4), np.float32)
-        g_valid = np.zeros((g,), bool)
-        annotated = [f for f in range(n_frames) if trajectories[f]]
-        picks = annotated[::max(1, len(annotated) // global_frames)][
-            :global_frames]
-        for slot, fid in enumerate(picks):
-            boxes, valid = _frame_rois(trajectories[fid], box_slots)
-            image = load_frame(frames_dir, video, fid)[None]
-            feats = np.asarray(raw_features(params, jnp.asarray(image),
-                                            jnp.asarray(boxes)))
-            lo = slot * box_slots
-            g_feat[lo:lo + box_slots] = feats * valid[:, None]
-            g_boxes[lo:lo + box_slots] = boxes
-            g_valid[lo:lo + box_slots] = valid
-        g_args = (jnp.asarray(g_feat), jnp.asarray(g_boxes),
-                  jnp.asarray(g_valid))
-    else:
-        g_args = ()
+    def load(lo, hi):
+        return np.stack([load_frame(frames_dir, video, fid)
+                         for fid in fids[lo:hi]])
 
-    @jax.jit
-    def step(params, image, rois, rois_valid, mem, *g_args):
-        c4 = det.apply(params, image,
-                       method=lambda m, im: m.features(im))[0]
-        feats = det.apply(
-            params, c4, rois, rois_valid, *mem, *g_args,
-            method=lambda m, c, r, v, mf, mb, mv, *ga:
-            m.enhancer(m.box_head.visual_features(c, r)
-                       * v[:, None].astype(jnp.float32), r, v,
-                       mf, mb, mv, *ga))
-        mem_feat, mem_boxes, mem_valid = mem
-        n = rois.shape[0]
-        mem_feat = jnp.roll(mem_feat, -n, axis=0).at[-n:].set(feats)
-        mem_boxes = jnp.roll(mem_boxes, -n, axis=0).at[-n:].set(rois)
-        mem_valid = jnp.roll(mem_valid, -n, axis=0).at[-n:].set(rois_valid)
-        return feats, (mem_feat, mem_boxes, mem_valid)
+    feats = extract_video_features(det, params, load, rois, valid,
+                                   seed=seed)
 
     out = {}
-    for fid in range(n_frames):
-        frame_anno = trajectories[fid]
-        if len(frame_anno) == 0:
-            continue
-        tids = np.asarray([b["tid"] for b in frame_anno], np.int64)
-        boxes, valid = _frame_rois(frame_anno, box_slots)
-        image = load_frame(frames_dir, video, fid)[None]
-        feats, mem = step(params, jnp.asarray(image), jnp.asarray(boxes),
-                          jnp.asarray(valid), mem, *g_args)
-        n = min(len(tids), box_slots)
+    for i, fid in enumerate(fids):
+        n = min(len(tids[i]), box_slots)
         out[fid + 1] = {
             "frame_id": fid + 1,
-            "tids": tids[:n],
-            "visual_features": np.asarray(feats)[:n],
+            "tids": tids[i][:n],
+            "visual_features": np.asarray(feats[i][:n]),
         }
     return out
+
+
+def init_extractor_params(det: MegaDetector, frames_dir: str, video: str,
+                          box_slots: int, seed: int = 0):
+    """Initialize all parameters used by the extraction path."""
+    import jax
+    import jax.numpy as jnp
+
+    img = load_frame(frames_dir, video, 0)[None]
+    rois = jnp.zeros((1, box_slots, 4), jnp.float32)
+    valid = jnp.zeros((1, box_slots), bool)
+
+    def run(m):
+        from vrdone_tpu.models.mega import BoxSet, flatten_set
+        c4 = m.features(jnp.asarray(img))
+        fc0 = jax.vmap(m.frame_fc0)(c4, rois, valid)
+        win = BoxSet(jnp.repeat(fc0, det.window, 0),
+                     jnp.repeat(rois, det.window, 0),
+                     jnp.repeat(valid, det.window, 0))
+        glob = flatten_set(BoxSet(fc0, rois, valid))
+        return m.enhance(fc0[0], rois[0], valid[0], win, None, glob,
+                         key_is_fc0=True)
+    return jax.jit(lambda k: det.init(k, method=run))(jax.random.key(seed))
 
 
 def main():
@@ -147,15 +123,21 @@ def main():
     p.add_argument("--part", type=int, default=0)
     p.add_argument("--num_parts", type=int, default=1)
     p.add_argument("--box_slots", type=int, default=16)
-    p.add_argument("--global_frames", type=int, default=0,
-                   help=">0 enables the MEGA global stage with this many "
-                        "stride-sampled frames per video")
+    p.add_argument("--window", type=int, default=25)
+    p.add_argument("--global_size", type=int, default=10,
+                   help="0 disables the MEGA global stage")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
     layers = tuple(int(x) for x in args.resnet_layers.split(","))
     det = MegaDetector(num_classes=args.num_classes, resnet_layers=layers,
-                       props_per_frame=args.box_slots)
+                       base_num=args.box_slots,
+                       advanced_num_override=min(15, args.box_slots),
+                       window=args.window,
+                       key_loc=args.window // 2,
+                       global_size=args.global_size,
+                       global_enable=args.global_size > 0)
 
     videos = sorted(v[:-5] for v in os.listdir(args.anno_dir)
                     if v.endswith(".json"))
@@ -173,28 +155,10 @@ def main():
                 params = {"params": restore_params_for_eval(args.ckpt_path,
                                                             None)}
             else:
-                img = load_frame(args.frames_dir, video, 0)[None]
-                rois = jnp.zeros((args.box_slots, 4), jnp.float32)
-                valid = jnp.zeros((args.box_slots,), bool)
-                mem = init_memory(det.mem_frames, args.box_slots, 1024)
-                if args.global_frames > 0:
-                    g = args.global_frames * args.box_slots
-                    gargs = (jnp.zeros((g, 1024), jnp.float32),
-                             jnp.zeros((g, 4), jnp.float32),
-                             jnp.zeros((g,), bool))
-                else:
-                    gargs = ()
-
-                def run(m, im):
-                    c4 = m.features(im)[0]
-                    visual = m.box_head.visual_features(c4, rois)
-                    return m.enhancer(visual, rois, valid, *mem, *gargs)
-                params = det.init(jax.random.key(0), jnp.asarray(img),
-                                  method=run)
+                params = init_extractor_params(det, args.frames_dir, video,
+                                               args.box_slots, args.seed)
         data = extract_video(det, params, anno, args.frames_dir, video,
-                             box_slots=args.box_slots,
-                             mem_frames=det.mem_frames,
-                             global_frames=args.global_frames)
+                             box_slots=args.box_slots, seed=args.seed)
         with open(dst, "wb") as f:
             pickle.dump(data, f)
         print(f"{video}: {len(data)} frames")

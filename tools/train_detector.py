@@ -1,10 +1,14 @@
 """Train the MEGA-equivalent video detector on annotated frames.
 
 Counterpart of reference datasets/mega/train_mega.py (+finetune_mega.py):
-iterates (frame, GT boxes/labels) samples from annotation JSONs, optimizes
-RPN + box-head losses (vrdone_tpu/models/detector_train.py) with SGD +
-warmup-multistep, optionally enhancing through reference-frame memory
-sampled from the same video (the MEGA key+refs training scheme).
+optimizes RPN + box-head losses with SGD + warmup-multistep under the full
+MEGA training scheme (reference generalized_rcnn_mega.py:_forward_train):
+each step samples a key frame plus local / memory / global reference
+frames from the same video (reference vid_mega.py:_get_train), runs them
+through the shared backbone, and computes box-head losses on the
+MEGA-enhanced predictions. Image-dataset (COCO) samples use copies of the
+key image as reference frames, exactly like the reference
+(vid_mega.py:65-73).
 
 Images are resized so the short side is --min_size (reference
 mega_core/config defaults: 600 for the 2-GPU VidVRD recipe) and padded to
@@ -29,8 +33,9 @@ import jax.numpy as jnp
 import optax
 
 from vrdone_tpu.models.detector import MegaDetector
-from vrdone_tpu.models.detector_train import detector_losses
-from vrdone_tpu.models.mega import init_memory
+from vrdone_tpu.models.detector_train import (init_train_params,
+                                              mega_detector_losses,
+                                              sample_ref_indices)
 from vrdone_tpu.train.optim import multistep_schedule
 from vrdone_tpu.utils.logging import setup_logger
 
@@ -114,8 +119,24 @@ def main():
     p.add_argument("--min_size", type=int, default=600)
     p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
     p.add_argument("--max_gt", type=int, default=16)
+    p.add_argument("--n_local", type=int, default=2,
+                   help="local ref frames (reference REF_NUM_LOCAL)")
+    p.add_argument("--n_mem", type=int, default=3,
+                   help="memory ref frames (reference REF_NUM_MEM)")
+    p.add_argument("--n_glob", type=int, default=2,
+                   help="global ref frames (reference REF_NUM_GLOBAL)")
+    p.add_argument("--base_num", type=int, default=75,
+                   help="ref proposals per frame (REF_POST_NMS_TOP_N)")
+    p.add_argument("--post_nms_top_n", type=int, default=128)
     p.add_argument("--log_interval", type=int, default=50)
     p.add_argument("--save_interval", type=int, default=10000)
+    p.add_argument("--eval_interval", type=int, default=0,
+                   help=">0: run detector evaluation on --val_anno_dir "
+                        "every N iters")
+    p.add_argument("--val_anno_dir", default=None)
+    p.add_argument("--val_frames_dir", default=None)
+    p.add_argument("--val_videos", type=int, default=5,
+                   help="videos per validation sweep")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resnet_layers", type=str, default="3,4,23",
                    help="C2,C3,C4 block counts (3,4,23 = R-101)")
@@ -131,8 +152,10 @@ def main():
                           os.path.join(args.exp_dir, "logfile"))
 
     layers = tuple(int(x) for x in args.resnet_layers.split(","))
-    det = MegaDetector(num_classes=num_classes, resnet_layers=layers)
-    mem = init_memory(det.mem_frames, det.props_per_frame, 1024)
+    det = MegaDetector(num_classes=num_classes, resnet_layers=layers,
+                       base_num=args.base_num,
+                       memory_enable=args.n_mem > 0,
+                       global_enable=args.n_glob > 0)
     image_hw = jnp.asarray(args.canvas)
 
     rng = np.random.default_rng(args.seed)
@@ -141,11 +164,14 @@ def main():
         coco_samples = coco_index(args.coco_ann, args.images_dir)
 
         def load_sample(i):
+            """COCO image mode: reference frames are copies of the key
+            frame (reference vid_mega.py:65-73)."""
             from PIL import Image
             path, boxes, cats_ids = coco_samples[i]
             img = np.asarray(Image.open(path).convert("RGB"),
                              np.float32)[..., ::-1]
-            return img, boxes, cats_ids
+            return img, [img] * args.n_local, [img] * args.n_mem, \
+                [img] * args.n_glob, boxes, cats_ids
         n_samples = len(coco_samples)
         logger.info(f"COCO mode: {n_samples} images")
         cats_are_ids = True
@@ -162,22 +188,48 @@ def main():
 
         def load_sample(i):
             v, fid, boxes, cats = index[i]
-            return load_frame(args.frames_dir, v, fid), boxes, cats
+            seg_len = len(annos[v]["trajectories"])
+            refs = sample_ref_indices(rng, fid, seg_len,
+                                      n_local=args.n_local,
+                                      n_mem=args.n_mem,
+                                      n_glob=args.n_glob)
+            return (load_frame(args.frames_dir, v, fid),
+                    [load_frame(args.frames_dir, v, int(j))
+                     for j in refs["local"]],
+                    [load_frame(args.frames_dir, v, int(j))
+                     for j in refs["mem"]],
+                    [load_frame(args.frames_dir, v, int(j))
+                     for j in refs["glob"]],
+                    boxes, cats)
         n_samples = len(index)
         cats_are_ids = False
 
-    img0, boxes0, _ = load_sample(0)
-    canvas0, _, _ = resize_and_pad(img0, boxes0, args.min_size,
-                                   args.canvas)
+    def pack(img, boxes, ref_imgs):
+        canvas, boxes_r, _ = resize_and_pad(img, boxes, args.min_size,
+                                            args.canvas)
+        packed = []
+        for group in ref_imgs:
+            cs = [resize_and_pad(r, np.zeros((0, 4), np.float32),
+                                 args.min_size, args.canvas)[0]
+                  for r in group]
+            packed.append(np.stack(cs) if cs else
+                          np.zeros((0, *args.canvas, 3), np.float32))
+        return canvas, boxes_r, packed
 
-    def init_run(m, image):
-        c4 = m.features(image)[0]
-        return m.detect_frame(c4, image_hw, *mem, post_nms_top_n=128)
+    img0, loc0, mem0, glob0, boxes0, _ = load_sample(0)
+    canvas0, _, (locc0, memc0, globc0) = pack(img0, boxes0,
+                                              [loc0, mem0, glob0])
 
-    params = det.init(jax.random.key(args.seed),
-                      jnp.asarray(canvas0[None]), method=init_run)
+    t0 = time.time()
+    params = init_train_params(
+        det, jax.random.key(args.seed), jnp.asarray(canvas0),
+        jnp.asarray(locc0),
+        jnp.asarray(memc0) if args.n_mem else None,
+        jnp.asarray(globc0) if args.n_glob else None, image_hw,
+        post_nms_top_n=args.post_nms_top_n)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    logger.info(f"detector params: {n_params}")
+    logger.info(f"detector params: {n_params} "
+                f"(init {time.time() - t0:.1f}s)")
 
     schedule = multistep_schedule(
         args.lr, warmup_steps=500,
@@ -188,23 +240,31 @@ def main():
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, image, gt_boxes, gt_labels, gt_valid, key):
+    def step(params, opt_state, key_img, loc, mem, glob, gt_boxes,
+             gt_labels, gt_valid, key):
         def loss_fn(params):
-            out = detector_losses(det, params, image, image_hw, gt_boxes,
-                                  gt_labels, gt_valid, key,
-                                  post_nms_top_n=128, mem=mem)
+            out = mega_detector_losses(
+                det, params, key_img, loc,
+                mem if args.n_mem else None,
+                glob if args.n_glob else None, image_hw, gt_boxes,
+                gt_labels, gt_valid, key,
+                post_nms_top_n=args.post_nms_top_n)
             return out["total_loss"], out
         grads, losses = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses
 
+    from vrdone_tpu.utils.metric_logger import MetricLogger
+    meters = MetricLogger()
     key = jax.random.key(args.seed)
     t0 = time.time()
+    t_data = time.time()
     for it in range(args.iters):
-        img, boxes, cats = load_sample(int(rng.integers(0, n_samples)))
-        canvas, boxes_r, _ = resize_and_pad(img, boxes, args.min_size,
-                                            args.canvas)
+        img, loc_i, mem_i, glob_i, boxes, cats = load_sample(
+            int(rng.integers(0, n_samples)))
+        canvas, boxes_r, (locc, memc, globc) = pack(
+            img, boxes, [loc_i, mem_i, glob_i])
         g = args.max_gt
         gt_boxes = np.zeros((g, 4), np.float32)
         gt_labels = np.zeros((g,), np.int32)
@@ -214,20 +274,23 @@ def main():
         gt_labels[:n] = (np.asarray(cats[:n], np.int32) if cats_are_ids
                          else [name_to_id[c] for c in cats[:n]])
         gt_valid[:n] = True
+        data_time = time.time() - t_data
 
         params, opt_state, losses = step(
-            params, opt_state, jnp.asarray(canvas[None]),
+            params, opt_state, jnp.asarray(canvas), jnp.asarray(locc),
+            jnp.asarray(memc), jnp.asarray(globc),
             jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
             jnp.asarray(gt_valid), jax.random.fold_in(key, it))
 
+        meters.update(data_time=data_time,
+                      batch_time=time.time() - t_data,
+                      **{k: float(x) for k, x in losses.items()})
+        t_data = time.time()
         if it % args.log_interval == 0:
-            ls = {k: float(x) for k, x in losses.items()}
-            logger.info(f"[{it}/{args.iters}] " + "  ".join(
-                f"{k}={x:.4f}" for k, x in ls.items())
-                + f"  lr={float(schedule(it)):.2e}"
-                + f"  {time.time() - t0:.1f}s")
+            logger.info(f"[{it}/{args.iters}] {meters}"
+                        f"  lr={float(schedule(it)):.2e}"
+                        f"  {time.time() - t0:.1f}s")
         if (it + 1) % args.save_interval == 0 or it + 1 == args.iters:
-            from vrdone_tpu.train import checkpoint as ckpt_lib
             import orbax.checkpoint as ocp
             path = os.path.abspath(
                 os.path.join(args.exp_dir, f"detector_{it + 1}.ckpt"))
@@ -235,6 +298,16 @@ def main():
             ckptr.save(path, {"params": params["params"]}, force=True)
             ckptr.wait_until_finished()
             logger.info(f"saved {path}")
+        if (args.eval_interval and (it + 1) % args.eval_interval == 0
+                and args.val_anno_dir):
+            from vrdone_tpu.eval.detection import evaluate_video_detections
+            stats = evaluate_video_detections(
+                det, params, args.val_anno_dir,
+                args.val_frames_dir or args.frames_dir,
+                name_to_id=name_to_id, min_size=args.min_size,
+                canvas=args.canvas, max_videos=args.val_videos)
+            logger.info(f"[{it + 1}] detector eval: " + "  ".join(
+                f"{k}={v:.4f}" for k, v in stats.items()))
 
 
 if __name__ == "__main__":

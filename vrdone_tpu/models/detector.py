@@ -1,13 +1,20 @@
-"""Video object detector (MEGA-equivalent): ResNet-C4 + RPN + RoI head with
-relation-attention feature enhancement.
+"""Video object detector (MEGA-equivalent): ResNet-C4 + RPN + MEGA
+relation-attention RoI head.
 
 This is the offline feature producer of the stack (reference layer L9,
-SURVEY.md §1): it exists to (a) detect/track entities and (b) emit the
-per-frame 1024-d RoI visual features the relation model consumes. The
-reference implementation is maskrcnn-benchmark's GeneralizedRCNN{MEGA}
-(reference datasets/mega/mega_core/modeling/detector/generalized_rcnn_mega.py)
-with stateful deque memory; here every stage is static-shape and the video
-dimension is a lax.scan (see models/mega.py).
+SURVEY.md §1): it (a) detects/tracks entities and (b) emits the per-frame
+1024-d RoI visual features the relation model consumes. The reference
+implementation is maskrcnn-benchmark's GeneralizedRCNNMEGA (reference
+datasets/mega/mega_core/modeling/detector/generalized_rcnn_mega.py) with
+stateful deque memory; here the per-frame feature generation is one big
+batched XLA program and the sequential part (the sliding window +
+per-stage long-range memory + global set) is a lax.scan with ring buffers
+(models/mega.py stream_video).
+
+Classification and regression run on the MEGA-ENHANCED 1024-d features —
+the predictor input is the attention head's output, exactly as in the
+reference (roi_box_feature_extractors.py forward -> box_head.py
+`class_logits, box_regression = self.predictor(x)`).
 
 Weights: the reference starts from a Caffe2 R-101 catalog checkpoint. No
 pretrained weights ship in this environment; tools/convert_torch_resnet.py
@@ -24,22 +31,24 @@ from flax import linen as nn
 
 from ..ops import boxes as box_ops
 from . import rpn as rpn_lib
-from .mega import MegaEnhancer
-from .resnet import ResNetC4, ResNetC5Head
+from .mega import MEGAHead, global_indices, stream_video
 
 Array = jax.Array
 
-# ImageNet mean/std in BGR order, matching the Caffe2-lineage preprocessing
+# ImageNet mean in BGR order, matching the Caffe2-lineage preprocessing
 # (reference mega_core/config/defaults.py PIXEL_MEAN)
 PIXEL_MEAN = np.array([102.9801, 115.9465, 122.7717], np.float32)
 
 
 class BoxHead(nn.Module):
-    """RoIAlign(14x14) on C4 -> C5 stage -> pooled features + predictors."""
+    """RoIAlign(14x14) on C4 -> C5 stage -> pooled features; predictors
+    consume the MEGA-enhanced 1024-d representation (reference
+    FPNPredictor over MEGAFeatureExtractor output)."""
     num_classes: int
     c5_blocks: int = 3
 
     def setup(self):
+        from .resnet import ResNetC5Head
         self.c5 = ResNetC5Head(self.c5_blocks, name="c5")
         self.cls_score = nn.Dense(self.num_classes + 1,
                                   kernel_init=nn.initializers.normal(0.01),
@@ -47,7 +56,6 @@ class BoxHead(nn.Module):
         self.bbox_pred = nn.Dense(4 * (self.num_classes + 1),
                                   kernel_init=nn.initializers.normal(0.001),
                                   name="bbox_pred")
-        self.to_visual = nn.Dense(1024, name="to_visual")
 
     def pooled_features(self, c4_feat: Array, rois: Array) -> Array:
         """c4_feat: (H, W, C) NHWC single image; rois: (R, 4).
@@ -58,34 +66,55 @@ class BoxHead(nn.Module):
         crops = crops.transpose(0, 2, 3, 1)       # (R, 14, 14, C) NHWC
         return self.c5(crops)
 
-    def visual_features(self, c4_feat: Array, rois: Array) -> Array:
-        """The 1024-d per-box visual feature the relation model consumes."""
-        return self.to_visual(self.pooled_features(c4_feat, rois))
-
-    def predictions(self, pooled: Array) -> tuple[Array, Array]:
-        return self.cls_score(pooled), self.bbox_pred(pooled)
+    def predictions(self, enhanced: Array) -> tuple[Array, Array]:
+        """enhanced: (R, 1024) MEGA output -> (cls_logits, bbox_deltas)."""
+        return self.cls_score(enhanced), self.bbox_pred(enhanced)
 
 
 class MegaDetector(nn.Module):
-    """Full per-frame detector with relation-attention enhancement."""
+    """Full video detector with the reference MEGA head.
+
+    Reference knobs (mega_core/config/defaults.py:394-449 + the vidvrd
+    MEGA yaml): stage=3, groups=16, base_num=75 ref proposals/frame,
+    advanced (distilled) = base_num*0.2, window=25 (key at slot 12),
+    global_size=10, one global residual stage. The long-range-memory
+    capacity equals the window length (the reference's deque maxlen is
+    ALL_FRAME_INTERVAL; its MEMORY.SIZE knob is never read)."""
     num_classes: int
     resnet_layers: tuple[int, ...] = (3, 4, 23)
-    mem_frames: int = 25
-    props_per_frame: int = 16
-    enhancer_stages: int = 2
+    stage: int = 3
+    groups: int = 16
+    global_res_stage: int = 1
+    global_enable: bool = True
+    memory_enable: bool = True
+    base_num: int = 75
+    ratio: float = 0.2
+    window: int = 25
+    key_loc: int = 12
+    global_size: int = 10
+    advanced_num_override: int | None = None
+
+    @property
+    def advanced_num(self) -> int:
+        """Distilled proposals per frame. In GT-extraction mode the box
+        slots can be fewer than base_num*ratio; the reference's
+        `proposals[:advanced_num]` then degenerates to all boxes
+        (generalized_rcnn_mega.py:156), which the override expresses with
+        static shapes."""
+        if self.advanced_num_override is not None:
+            return self.advanced_num_override
+        return max(1, int(self.base_num * self.ratio))
 
     def setup(self):
+        from .resnet import ResNetC4
         self.backbone = ResNetC4(self.resnet_layers, name="backbone")
         self.rpn_head = rpn_lib.RPNHead(name="rpn")
         self.box_head = BoxHead(self.num_classes, name="box_head")
-        self.enhancer = MegaEnhancer(
-            feat_dim=1024, num_stages=self.enhancer_stages,
-            mem_frames=self.mem_frames,
-            props_per_frame=self.props_per_frame, name="enhancer")
+        self.mega = make_mega_head(self, name="mega")
 
     def features(self, images: Array) -> Array:
-        """images: (N, H, W, 3) raw pixels -> C4 features (N, H/16, W/16, C).
-        Mean subtraction happens here (BGR channel order expected)."""
+        """images: (N, H, W, 3) raw pixels -> C4 features (N, H/16, W/16,
+        C). Mean subtraction happens here (BGR channel order expected)."""
         x = images - PIXEL_MEAN
         return self.backbone(x)
 
@@ -102,34 +131,156 @@ class MegaDetector(nn.Module):
             anchors, logits, deltas, image_hw,
             pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n)
 
-    def extract_box_features(self, c4_feat: Array, rois: Array,
-                             rois_valid: Array, mem_feat: Array,
-                             mem_boxes: Array, mem_valid: Array) -> Array:
-        """GT-box / proposal feature extraction for one frame, enhanced by
-        the memory (the FeatureExtractor path,
-        reference datasets/mega/feature_extractor_vidvrd.py:92-120)."""
-        visual = self.box_head.visual_features(c4_feat, rois)
-        visual = visual * rois_valid[:, None].astype(visual.dtype)
-        return self.enhancer(visual, rois, rois_valid,
-                             mem_feat, mem_boxes, mem_valid)
+    def frame_fc0(self, c4_feat: Array, rois: Array, valid: Array) -> Array:
+        """Pool one frame's RoIs and lift to the fc0-level 1024-d features
+        stored in the window/global/memory sets (the reference
+        `pre_calculate=True` path)."""
+        pooled = self.box_head.pooled_features(c4_feat, rois)
+        x = self.mega.pre_calculate(pooled)
+        return x * valid[:, None].astype(x.dtype)
 
-    def detect_frame(self, c4_feat: Array, image_hw: Array,
-                     mem_feat: Array, mem_boxes: Array, mem_valid: Array,
-                     *, post_nms_top_n: int = 300
-                     ) -> dict:
-        """Single-frame detection with enhancement. Returns raw per-proposal
-        (boxes, cls_logits, bbox_deltas, valid) for host post-processing."""
-        boxes, scores, valid = self.propose(c4_feat, image_hw,
-                                            post_nms_top_n=post_nms_top_n)
-        pooled = self.box_head.pooled_features(c4_feat, boxes)
-        visual = self.box_head.to_visual(pooled)
-        visual = self.enhancer(visual, boxes, valid,
-                               mem_feat, mem_boxes, mem_valid)
-        cls_logits, bbox_deltas = self.box_head.predictions(pooled)
-        return {"proposals": boxes, "proposal_scores": scores,
-                "valid": valid, "cls_logits": cls_logits,
-                "bbox_deltas": bbox_deltas, "visual": visual}
+    def enhance(self, *args, **kw):
+        return self.mega.enhance(*args, **kw)
 
+    def enhance_train(self, *args, **kw):
+        return self.mega.enhance_train(*args, **kw)
+
+    def predictions(self, enhanced: Array) -> tuple[Array, Array]:
+        return self.box_head.predictions(enhanced)
+
+
+def make_mega_head(det: MegaDetector, name: str | None = None) -> MEGAHead:
+    """The MEGAHead matching a detector's knobs — standalone (unbound)
+    construction for the streaming scan."""
+    return MEGAHead(
+        feat_dim=1024, groups=det.groups, stage=det.stage,
+        global_res_stage=det.global_res_stage,
+        global_enable=det.global_enable,
+        memory_enable=det.memory_enable,
+        advanced_num=det.advanced_num, name=name)
+
+
+# ---------------------------------------------------------------------------
+# Whole-video drivers (host-level orchestration of jitted phases)
+# ---------------------------------------------------------------------------
+
+def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
+    """Jitted per-frame precompute: c4 -> key + ref proposals -> fc0-level
+    features. Returns a function mapping one image to the per-frame sets."""
+
+    @jax.jit
+    def run(image, image_hw):
+        def fwd(m):
+            c4 = m.features(image[None])[0]
+            kb, ks, kv = m.propose(c4, image_hw,
+                                   post_nms_top_n=key_post_nms)
+            rb, rs, rv = m.propose(c4, image_hw,
+                                   post_nms_top_n=det.base_num)
+            key_fc0 = m.frame_fc0(c4, kb, kv)
+            ref_fc0 = m.frame_fc0(c4, rb, rv)
+            return kb, kv, ks, key_fc0, rb, rv, ref_fc0
+        return det.apply(params, method=fwd)
+
+    return run
+
+
+def detect_video(det: MegaDetector, params, images, image_hw, *,
+                 key_post_nms: int = 300, seed: int = 0):
+    """Detect every frame of a video with full MEGA semantics.
+
+    images: (T, H, W, 3) host array or any indexable sequence of (H, W, 3)
+    frames (frames are fed one at a time to the jitted precompute to
+    bound device/host memory). Returns dict of stacked per-frame arrays:
+    proposals (T, Nk, 4), proposal_scores, valid, cls_logits (T, Nk,
+    K+1), bbox_deltas, visual (T, Nk, 1024).
+    """
+    t_total = len(images)
+    run = _precompute_fns(det, params, key_post_nms=key_post_nms)
+    outs = [run(jnp.asarray(np.ascontiguousarray(images[t])),
+                jnp.asarray(image_hw)) for t in range(t_total)]
+    kb, kv, ks, kf, rb, rv, rf = (jnp.stack([o[i] for o in outs])
+                                  for i in range(7))
+
+    glob_idx = None
+    if det.global_enable:
+        glob_idx = global_indices(t_total, min(det.global_size, t_total),
+                                  seed=seed)
+    visual = stream_video(
+        make_mega_head(det), {"params": params["params"]["mega"]},
+        key_feat=kf, key_rois=kb, key_valid=kv, key_is_fc0=True,
+        ref_feat=rf, ref_rois=rb, ref_valid=rv,
+        mem_size=det.window, window=det.window,
+        key_loc=det.key_loc, glob_idx=glob_idx)
+
+    @jax.jit
+    def predict(v):
+        return det.apply(params, v, method=lambda m, x:
+                         m.box_head.predictions(x))
+
+    cls_logits, bbox_deltas = predict(visual.reshape(-1, 1024))
+    nk = kb.shape[1]
+    return {"proposals": np.asarray(kb), "proposal_scores": np.asarray(ks),
+            "valid": np.asarray(kv),
+            "cls_logits": np.asarray(cls_logits).reshape(t_total, nk, -1),
+            "bbox_deltas": np.asarray(bbox_deltas).reshape(t_total, nk, -1),
+            "visual": np.asarray(visual)}
+
+
+def extract_video_features(det: MegaDetector, params, images, rois, valid,
+                           *, seed: int = 0, batch: int = 8):
+    """GT-box feature extraction for a whole video (the reference
+    FeatureExtractor path, datasets/mega/feature_extractor_vidvrd.py):
+    the given boxes serve as key, window, and global proposal sets.
+
+    images: (T, H, W, 3) array, or a callable (lo, hi) -> (hi-lo, H, W, 3)
+    that loads frames lazily (long videos don't fit in host RAM as one
+    float32 stack); rois: (T, N, 4); valid: (T, N).
+    Returns (T, N, 1024) MEGA-enhanced features.
+    """
+    t_total = rois.shape[0]
+    load = images if callable(images) else (
+        lambda lo, hi: images[lo:hi])
+
+    @jax.jit
+    def fc0_batch(imgs, rs, vs):
+        def fwd(m):
+            c4 = m.features(imgs)
+            return jax.vmap(m.frame_fc0)(c4, rs, vs)
+        return det.apply(params, method=fwd)
+
+    feats = []
+    for lo in range(0, t_total, batch):
+        hi = min(lo + batch, t_total)
+        pad = batch - (hi - lo)
+        imgs = np.asarray(load(lo, hi))
+        rs, vs = rois[lo:hi], valid[lo:hi]
+        if pad:
+            imgs = np.concatenate([imgs, imgs[:1].repeat(pad, 0)])
+            rs = np.concatenate([rs, rs[:1].repeat(pad, 0)])
+            vs = np.concatenate([vs, vs[:1].repeat(pad, 0)])
+        feats.append(np.asarray(fc0_batch(jnp.asarray(imgs),
+                                          jnp.asarray(rs),
+                                          jnp.asarray(vs)))[:hi - lo])
+    fc0 = jnp.asarray(np.concatenate(feats))
+
+    glob_idx = None
+    if det.global_enable:
+        glob_idx = global_indices(t_total, min(det.global_size, t_total),
+                                  seed=seed)
+    out = stream_video(
+        make_mega_head(det), {"params": params["params"]["mega"]},
+        key_feat=fc0, key_rois=jnp.asarray(rois),
+        key_valid=jnp.asarray(valid), key_is_fc0=True,
+        ref_feat=fc0, ref_rois=jnp.asarray(rois),
+        ref_valid=jnp.asarray(valid),
+        mem_size=det.window, window=det.window,
+        key_loc=det.key_loc, glob_idx=glob_idx)
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Host post-processing (decode + NMS + TTA)
+# ---------------------------------------------------------------------------
 
 def _decode_candidates(boxes, cls_logits, bbox_deltas, valid, image_hw,
                        score_thresh):
@@ -162,6 +313,16 @@ def hflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
     return out
 
 
+def scale_boxes(boxes: np.ndarray, factor_xy) -> np.ndarray:
+    """Rescale xyxy boxes by (fx, fy) — bbox_aug multi-scale mapping
+    (reference mega_core/engine/bbox_aug.py + BoxList.resize)."""
+    fx, fy = factor_xy
+    out = boxes.copy()
+    out[:, 0::2] *= fx
+    out[:, 1::2] *= fy
+    return out
+
+
 def postprocess_frame(boxes: np.ndarray, cls_logits: np.ndarray,
                       bbox_deltas: np.ndarray, valid: np.ndarray,
                       image_hw, *, score_thresh: float = 0.05,
@@ -170,7 +331,7 @@ def postprocess_frame(boxes: np.ndarray, cls_logits: np.ndarray,
     """Per-class decode + NMS (host-side numpy; mirrors maskrcnn-benchmark
     PostProcessor semantics). Returns dict of boxes/scores/labels arrays."""
     return postprocess_frame_tta(
-        [(boxes, cls_logits, bbox_deltas, valid, False)], image_hw,
+        [(boxes, cls_logits, bbox_deltas, valid, None)], image_hw,
         score_thresh=score_thresh, nms_thresh=nms_thresh,
         dets_per_img=dets_per_img)
 
@@ -180,20 +341,33 @@ def postprocess_frame_tta(views, image_hw, *, score_thresh: float = 0.05,
                           dets_per_img: int = 100) -> dict:
     """Decode + NMS over one or more augmented views.
 
-    views: list of (boxes, cls_logits, bbox_deltas, valid, flipped) — the
-    horizontal-flip test-time augmentation of the reference's bbox_aug
-    (reference mega_core/engine/bbox_aug.py semantics): flipped views are
-    decoded in their own frame, mirrored back, and all candidate pools
-    share one per-class NMS.
+    views: list of (boxes, cls_logits, bbox_deltas, valid, transform) —
+    the test-time augmentation of the reference's bbox_aug (reference
+    mega_core/engine/bbox_aug.py:16-112): each view is decoded in its own
+    frame, mapped back to the original frame by `transform`, and all
+    candidate pools share one per-class NMS. transform is None (identity),
+    "hflip", ("scale", fx, fy) for a view computed at a resized input, or
+    ("scale_hflip", fx, fy).
     """
     h, w = image_hw
     merged: dict[int, list] = {}
-    for boxes, cls_logits, bbox_deltas, valid, flipped in views:
+    for boxes, cls_logits, bbox_deltas, valid, tfm in views:
+        if tfm is None or tfm == "hflip":
+            view_hw = image_hw
+        else:
+            view_hw = (h * tfm[2], w * tfm[1])
         cands = _decode_candidates(boxes, cls_logits, bbox_deltas, valid,
-                                   image_hw, score_thresh)
+                                   view_hw, score_thresh)
         for c, (bx, sc) in cands.items():
-            if flipped:
+            if tfm == "hflip":
                 bx = hflip_boxes(bx, w)
+            elif isinstance(tfm, tuple):
+                kind, fx, fy = tfm
+                if kind == "scale_hflip":
+                    bx = hflip_boxes(bx, w * fx)
+                bx = scale_boxes(bx, (1.0 / fx, 1.0 / fy))
+                bx[:, 0::2] = bx[:, 0::2].clip(0, w - 1)
+                bx[:, 1::2] = bx[:, 1::2].clip(0, h - 1)
             merged.setdefault(c, []).append((bx, sc))
 
     out_boxes, out_scores, out_labels = [], [], []

@@ -12,16 +12,18 @@ roi_heads/box_head/loss.py, matcher.py, balanced_positive_negative_sampler
   * binary objectness + smooth-L1 for the RPN; per-class CE + smooth-L1
     for the box head.
 
-MEGA training composes these with the relation-attention enhancer run
-against reference-frame proposal features (the reference trains key +
-local/memory/global frames through a shared backbone,
-generalized_rcnn_mega.py:80-135); detector_train_step below implements the
-key+refs scheme with a fixed number of reference frames.
+MEGA training composes these with the full reference scheme
+(mega_detector_losses): key + local/memory/global reference frames through
+a shared backbone (generalized_rcnn_mega.py:80-135), per-frame "ref"
+proposals feeding the relation head, box-head losses on the MEGA-enhanced
+predictions, and the memory branch under stop_gradient.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -139,34 +141,31 @@ def box_head_losses(proposals: Array, proposals_valid: Array,
     return {"loss_box_cls": cls_loss, "loss_box_reg": reg_loss}
 
 
-def detector_losses(det_module, params, key_image: Array, image_hw: Array,
-                    gt_boxes: Array, gt_labels: Array, gt_valid: Array,
-                    rng: Array, *, post_nms_top_n: int = 128,
-                    mem) -> dict:
-    """One-image detection loss (RPN + box head through the enhancer path).
+def mega_detector_losses(det_module, params, key_image: Array,
+                         local_images: Array, mem_images: Array | None,
+                         glob_images: Array | None, image_hw: Array,
+                         gt_boxes: Array, gt_labels: Array, gt_valid: Array,
+                         rng: Array, *, post_nms_top_n: int = 128) -> dict:
+    """The MEGA training scheme (reference generalized_rcnn_mega.py
+    _forward_train, :80-135): key + local + memory + global reference
+    frames through the SHARED backbone; RPN losses on the key frame;
+    per-frame "ref" proposals (top base_num) feed the relation head; the
+    box-head losses are computed on predictions from the MEGA-ENHANCED
+    features, so the attention machinery receives gradient. The memory
+    branch runs under stop_gradient (reference torch.no_grad,
+    roi_box_feature_extractors.py:844,:850).
 
-    mem: (mem_feat, mem_boxes, mem_valid) reference-frame memory, e.g. the
-    proposal features of sampled local/global ref frames.
+    key_image: (H, W, 3); local_images: (L, H, W, 3) sampled local ref
+    frames (vid_mega.py:_get_train offsets); mem_images: (M, H, W, 3) or
+    None; glob_images: (G, H, W, 3) or None. Image-dataset (COCO) training
+    passes copies of the key frame, exactly like the reference
+    (vid_mega.py:65-73).
     """
-    def fwd(m, image):
-        c4 = m.features(image)[0]
-        logits, deltas = m.rpn_head(c4[None])
-        hp, wp, a = logits.shape[1], logits.shape[2], logits.shape[3]
-        anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
-        obj = logits[0].reshape(-1)
-        dl = deltas[0].reshape(-1, 4)
-        boxes, scores, valid = rpn_lib.select_proposals(
-            anchors, jax.lax.stop_gradient(obj),
-            jax.lax.stop_gradient(dl), image_hw,
-            pre_nms_top_n=2000, post_nms_top_n=post_nms_top_n)
-        pooled = m.box_head.pooled_features(c4, boxes)
-        visual = m.box_head.to_visual(pooled)
-        visual = m.enhancer(visual, boxes, valid, *mem)
-        cls_logits, bbox_deltas = m.box_head.predictions(pooled)
-        return anchors, obj, dl, boxes, valid, cls_logits, bbox_deltas
-
+    fwd = make_train_forward(det_module, key_image, local_images,
+                             mem_images, glob_images, image_hw,
+                             post_nms_top_n=post_nms_top_n)
     (anchors, obj, dl, proposals, pvalid, cls_logits,
-     bbox_deltas) = det_module.apply(params, key_image, method=fwd)
+     bbox_deltas) = det_module.apply(params, method=fwd)
 
     r1, r2 = jax.random.split(rng)
     losses = rpn_losses(anchors, obj, dl, gt_boxes, gt_valid, r1)
@@ -175,3 +174,108 @@ def detector_losses(det_module, params, key_image: Array, image_hw: Array,
                                   gt_valid, r2))
     losses["total_loss"] = sum(losses.values())
     return losses
+
+
+def make_train_forward(det_module, key_image: Array, local_images: Array,
+                       mem_images: Array | None, glob_images: Array | None,
+                       image_hw: Array, *, post_nms_top_n: int = 128):
+    """The training forward as a bound-module closure — shared between
+    mega_detector_losses (apply) and parameter init."""
+    from .mega import BoxSet, flatten_set
+
+    n_l = local_images.shape[0]
+    n_m = 0 if mem_images is None else mem_images.shape[0]
+    n_g = 0 if glob_images is None else glob_images.shape[0]
+
+    def fwd(m):
+        parts = [key_image[None], local_images]
+        if n_m:
+            parts.append(mem_images)
+        if n_g:
+            parts.append(glob_images)
+        c4_all = m.features(jnp.concatenate(parts, axis=0))
+        c4_key = c4_all[0]
+
+        # RPN objective on the key frame
+        logits, deltas = m.rpn_head(c4_key[None])
+        hp, wp, a = logits.shape[1], logits.shape[2], logits.shape[3]
+        anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
+        obj = logits[0].reshape(-1)
+        dl = deltas[0].reshape(-1, 4)
+        key_boxes, _, key_valid = rpn_lib.select_proposals(
+            anchors, jax.lax.stop_gradient(obj),
+            jax.lax.stop_gradient(dl), image_hw,
+            pre_nms_top_n=2000, post_nms_top_n=post_nms_top_n)
+
+        def ref_set(c4):
+            """REF-version proposals + fc0-level features for one frame
+            (reference rpn version="ref" + pre_calculate)."""
+            b, _, v = m.propose(c4, image_hw,
+                                post_nms_top_n=det_module.base_num)
+            b = jax.lax.stop_gradient(b)
+            return m.frame_fc0(c4, b, v), b, v
+
+        # local window = [key's own ref set, local frames] (reference
+        # proposals_l_list ordering, generalized_rcnn_mega.py:103-108)
+        win_f, win_b, win_v = jax.vmap(ref_set)(c4_all[:1 + n_l])
+        window = BoxSet(win_f, win_b, win_v)
+
+        mem_frames = None
+        if n_m:
+            mf, mb, mv = jax.vmap(ref_set)(c4_all[1 + n_l:1 + n_l + n_m])
+            mem_frames = jax.tree.map(
+                jax.lax.stop_gradient, BoxSet(mf, mb, mv))
+
+        glob = None
+        if n_g:
+            gf, gb, gv = jax.vmap(ref_set)(c4_all[1 + n_l + n_m:])
+            glob = flatten_set(BoxSet(gf, gb, gv))
+
+        key_pooled = m.box_head.pooled_features(c4_key, key_boxes)
+        x = m.enhance_train(key_pooled, key_boxes, key_valid, window,
+                            mem_frames, glob)
+        cls_logits, bbox_deltas = m.box_head.predictions(x)
+        return (anchors, obj, dl, key_boxes, key_valid, cls_logits,
+                bbox_deltas)
+
+    return fwd
+
+
+def init_train_params(det_module, rng_key, key_image: Array,
+                      local_images: Array, mem_images: Array | None,
+                      glob_images: Array | None, image_hw: Array, *,
+                      post_nms_top_n: int = 128):
+    """Initialize all detector parameters by tracing the training forward.
+
+    Jitted: eager flax init dispatches thousands of tiny kernels and is
+    pathologically slow on a 1-core host."""
+    fwd = make_train_forward(det_module, key_image, local_images,
+                             mem_images, glob_images, image_hw,
+                             post_nms_top_n=post_nms_top_n)
+    return jax.jit(lambda k: det_module.init(k, method=fwd))(rng_key)
+
+
+def sample_ref_indices(rng: np.random.Generator, frame_id: int,
+                       seg_len: int, *, n_local: int = 2, n_mem: int = 3,
+                       n_glob: int = 2, min_offset: int = -12,
+                       max_offset: int = 12,
+                       all_frame_interval: int = 25) -> dict:
+    """Host-side reference-frame sampling for one key frame (reference
+    vid_mega.py:_get_train, :30-64): local offsets uniform in
+    [min_offset, max_offset]; memory offsets around
+    frame_id - ALL_FRAME_INTERVAL; global frames uniform over the video.
+    Returns dict of frame-index arrays {"local", "mem", "glob"}."""
+    span = max_offset - min_offset + 1
+
+    def clamp(ids):
+        return np.clip(ids, 0, seg_len - 1)
+
+    local = clamp(frame_id + rng.choice(span, size=n_local, replace=False)
+                  + min_offset)
+    center = max(frame_id - all_frame_interval, 0)
+    mem = clamp(center + rng.choice(span, size=n_mem, replace=False)
+                + min_offset)
+    # keep exactly n_glob frames (static shapes under jit) — sample with
+    # replacement only when the video is shorter than n_glob
+    glob = rng.choice(seg_len, size=n_glob, replace=seg_len < n_glob)
+    return {"local": local, "mem": mem, "glob": glob}
