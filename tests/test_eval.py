@@ -247,3 +247,187 @@ def test_decode_parity_long_bucket(tmp_path):
                 for t, d in zip(res["triplets"], res["pred_durations"]))
         assert key_set(ours) == key_set(theirs)
     assert n_long > 0, "fixture produced no long sequences"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial edge-case battery for the scoring reimplementation
+# (VidVRD-helper protocol; every expected number derived by hand inline)
+# ---------------------------------------------------------------------------
+
+
+def test_two_preds_one_gt_greedy_order():
+    """Two predictions both matching the single GT: the higher-scored one
+    is the TP, the duplicate is an FP.
+
+    Hand derivation: sorted preds -> [TP, FP]. prec = [1/1, 1/2],
+    rec = [1, 1]. voc_ap: recall changes only at the first point ->
+    AP = 1.0. AR@50 over the corpus: 1 GT, 1 TP -> 1.0."""
+    t = boxes(10)
+    gt = {"v": [rel(("a", "r", "b"), (0, 10), t, t)]}
+    pred = {"v": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9),
+                  rel(("a", "r", "b"), (0, 10), t, t, score=0.8)]}
+    out = M.relation_metrics(gt, pred)
+    assert out["RelDet_mAP"] == pytest.approx(1.0)
+    assert out["RelDet_AR@50"] == pytest.approx(1.0)
+    # reversed score order with a NON-matching high scorer: FP first ->
+    # prec = [0, 1/2], rec = [0, 1] -> AP = 0.5
+    pred2 = {"v": [rel(("a", "r", "b"), (0, 10),
+                       boxes(10, x=500), boxes(10, x=500), score=0.9),
+                   rel(("a", "r", "b"), (0, 10), t, t, score=0.8)]}
+    out2 = M.relation_metrics(gt, pred2)
+    assert out2["RelDet_mAP"] == pytest.approx(0.5)
+
+
+def test_duplicate_gt_triplets_best_iou_wins():
+    """Two GTs with the SAME triplet at different locations: a single
+    prediction overlapping both (above threshold) must match the
+    higher-vIoU one, leaving the other for a later prediction."""
+    a = boxes(10, x=0)           # gt 1 location
+    b = boxes(10, x=6)           # gt 2 location (overlaps a)
+    gt = {"v": [rel(("a", "r", "b"), (0, 10), a, a),
+                rel(("a", "r", "b"), (0, 10), b, b)]}
+    # pred at exactly location b -> must consume gt2 (vIoU 1 > vIoU(a,b))
+    pred = {"v": [rel(("a", "r", "b"), (0, 10), b, b, score=0.9),
+                  rel(("a", "r", "b"), (0, 10), a, a, score=0.8)]}
+    out = M.relation_metrics(gt, pred)
+    # both matched -> prec [1, 1], rec [0.5, 1] -> AP 1
+    assert out["RelDet_mAP"] == pytest.approx(1.0)
+
+
+def test_zero_gt_video_excluded_from_map_and_ar():
+    """A video with zero GT relations is skipped entirely (helper
+    behavior: its predictions contribute no FPs to the corpus AR and it
+    has no per-video AP)."""
+    t = boxes(10)
+    gt = {"v1": [rel(("a", "r", "b"), (0, 10), t, t)], "v2": []}
+    pred = {"v1": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9)],
+            "v2": [rel(("x", "y", "z"), (0, 10), t, t, score=1.0)] * 30}
+    out = M.relation_metrics(gt, pred)
+    assert out["RelDet_mAP"] == pytest.approx(1.0)
+    assert out["RelDet_AR@50"] == pytest.approx(1.0)
+    assert out["RelTag_AP@1"] == pytest.approx(1.0)
+
+
+def test_score_ties_stable_order():
+    """Equal scores: python sorted() is stable, so input order decides.
+    First-listed matching prediction takes the GT."""
+    t = boxes(10)
+    far = boxes(10, x=500)
+    gt = {"v": [rel(("a", "r", "b"), (0, 10), t, t)]}
+    # both score 0.5; first is the true match
+    pred = {"v": [rel(("a", "r", "b"), (0, 10), t, t, score=0.5),
+                  rel(("a", "r", "b"), (0, 10), far, far, score=0.5)]}
+    out = M.relation_metrics(gt, pred)
+    # prec [1, 1/2], rec [1, 1] -> AP 1
+    assert out["RelDet_mAP"] == pytest.approx(1.0)
+    # swapped: FP first -> prec [0, 1/2] -> AP 0.5
+    pred2 = {"v": [rel(("a", "r", "b"), (0, 10), far, far, score=0.5),
+                   rel(("a", "r", "b"), (0, 10), t, t, score=0.5)]}
+    out2 = M.relation_metrics(gt, pred2)
+    assert out2["RelDet_mAP"] == pytest.approx(0.5)
+
+
+def test_tagging_fewer_unique_triplets_than_k():
+    """prec@k when the video has fewer unique predicted triplets than k:
+    the helper takes the precision at the LAST available rank.
+
+    1 unique correct triplet predicted; prec@5 should read the curve at
+    rank 1 -> 1.0 (not 1/5)."""
+    t = boxes(10)
+    gt = {"v": [rel(("a", "r", "b"), (0, 10), t, t),
+                rel(("c", "r", "d"), (0, 10), t, t)]}
+    pred = {"v": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9)]}
+    out = M.relation_metrics(gt, pred)
+    assert out["RelTag_AP@1"] == pytest.approx(1.0)
+    assert out["RelTag_AP@5"] == pytest.approx(1.0)
+    # duplicate-triplet predictions collapse to one tagging entry
+    pred2 = {"v": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9),
+                   rel(("a", "r", "b"), (5, 15), t, t, score=0.8)]}
+    out2 = M.relation_metrics(gt, pred2)
+    assert out2["RelTag_AP@5"] == pytest.approx(1.0)
+
+
+def test_tagging_mixed_rank_precision():
+    """Tagging prec@k reads the cumulative precision curve: correct,
+    wrong, correct -> prec = [1, 1/2, 2/3]; prec@1 = 1, prec@5 = 2/3."""
+    t = boxes(10)
+    gt = {"v": [rel(("a", "r", "b"), (0, 10), t, t),
+                rel(("c", "r", "d"), (0, 10), t, t)]}
+    pred = {"v": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9),
+                  rel(("x", "y", "z"), (0, 10), t, t, score=0.8),
+                  rel(("c", "r", "d"), (0, 10), t, t, score=0.7)]}
+    out = M.relation_metrics(gt, pred)
+    assert out["RelTag_AP@1"] == pytest.approx(1.0)
+    assert out["RelTag_AP@5"] == pytest.approx(2 / 3)
+
+
+def test_prediction_overflowing_gt_duration():
+    """A prediction covering twice the GT's temporal extent has vIoU
+    10a/(20a + 10a - 10a) = 0.5 (boundary): at threshold 0.5 it still
+    matches; a slightly longer one (21 frames) drops below and is an FP."""
+    t10, t20, t21 = boxes(10), boxes(20), boxes(21)
+    gt = {"v": [rel(("a", "r", "b"), (5, 15), t10, t10)]}
+    pred_ok = {"v": [rel(("a", "r", "b"), (0, 20), t20, t20, score=0.9)]}
+    assert M.relation_metrics(gt, pred_ok)["RelDet_mAP"] == \
+        pytest.approx(1.0)
+    pred_long = {"v": [rel(("a", "r", "b"), (0, 21), t21, t21, score=0.9)]}
+    assert M.relation_metrics(gt, pred_long)["RelDet_mAP"] == \
+        pytest.approx(0.0)
+
+
+def test_empty_predictions_video():
+    """GT video with no predictions: AP 0 for that video, and the mAP
+    averages over videos -> (1 + 0)/2."""
+    t = boxes(10)
+    gt = {"v1": [rel(("a", "r", "b"), (0, 10), t, t)],
+          "v2": [rel(("c", "r", "d"), (0, 10), t, t)]}
+    pred = {"v1": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9)]}
+    out = M.relation_metrics(gt, pred)
+    assert out["RelDet_mAP"] == pytest.approx(0.5)
+    # corpus AR: 2 GTs, 1 TP
+    assert out["RelDet_AR@50"] == pytest.approx(0.5)
+    # tagging prec for v2: no predictions -> 0 contribution
+    assert out["RelTag_AP@1"] == pytest.approx(0.5)
+
+
+def test_recall_at_n_cutoff():
+    """AR@N truncates each video's score-sorted detections at N before
+    the corpus-level merge. 3 TPs in one video, AR@2 keeps only the two
+    highest-scored -> corpus recall 2/3."""
+    t = boxes(10)
+    gts = [rel(("a", "r", "b"), (0, 10), boxes(10, x=100 * i),
+               boxes(10, x=100 * i)) for i in range(3)]
+    preds = [dict(g, score=0.9 - 0.1 * i) for i, g in enumerate(gts)]
+    mean_ap, rec_at_n, _ = M.eval_visual_relation(
+        {"v": gts}, {"v": preds}, 0.5, det_nreturns=(2, 50))
+    assert rec_at_n[2] == pytest.approx(2 / 3)
+    assert rec_at_n[50] == pytest.approx(1.0)
+    assert mean_ap == pytest.approx(1.0)
+
+
+def test_min_of_subject_object_viou_gates_match():
+    """Matching requires min(sub vIoU, obj vIoU) >= threshold: a perfect
+    subject with a displaced object must NOT match."""
+    t = boxes(10)
+    far = boxes(10, x=500)
+    gt = {"v": [rel(("a", "r", "b"), (0, 10), t, t)]}
+    pred = {"v": [rel(("a", "r", "b"), (0, 10), t, far, score=0.9)]}
+    assert M.relation_metrics(gt, pred)["RelDet_mAP"] == pytest.approx(0.0)
+
+
+def test_corpus_ar_merges_across_videos_by_score():
+    """AR@N merges per-video cutoffs then re-sorts by score; recall is
+    against the corpus GT total. v1: 1 TP (0.9); v2: 1 FP (0.8) + 1 TP
+    (0.7) over 1 GT each -> AR@50 = 2/2 = 1; AR computation is
+    cutoff-then-merge, so AR@1 keeps v1's TP and v2's FP -> 1/2."""
+    t = boxes(10)
+    far = boxes(10, x=500)
+    gt = {"v1": [rel(("a", "r", "b"), (0, 10), t, t)],
+          "v2": [rel(("c", "r", "d"), (0, 10), t, t)]}
+    pred = {"v1": [rel(("a", "r", "b"), (0, 10), t, t, score=0.9)],
+            "v2": [rel(("c", "r", "d"), (0, 10), far, far, score=0.8),
+                   rel(("c", "r", "d"), (0, 10), t, t, score=0.7)]}
+    _, rec_at_n, _ = M.eval_visual_relation(gt, pred, 0.5,
+                                            det_nreturns=(1, 50))
+    assert rec_at_n[50] == pytest.approx(1.0)
+    assert rec_at_n[1] == pytest.approx(0.5)
