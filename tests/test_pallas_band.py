@@ -61,3 +61,32 @@ def test_pallas_band_locality():
     np.testing.assert_allclose(out1[0, 200 + w + 1:], out2[0, 200 + w + 1:],
                                atol=1e-6)
     assert np.abs(out1[0, 200] - out2[0, 200]).max() > 1e-3
+
+
+@pytest.mark.parametrize("t,win,block", [(128, 7, 64), (300, 19, 128)])
+def test_pallas_rel_pe_matches_dense(t, win, block):
+    """rel-PE path: per-head relative-position bias added inside the band
+    must match the dense formulation (closes the r1 coverage hole where
+    use_rel_pe configs silently fell back to dense)."""
+    rng = np.random.default_rng(2)
+    b, h, d = 2, 4, 32
+    c = h * d
+    q = rng.standard_normal((b, t, c)).astype(np.float32)
+    k = rng.standard_normal((b, t, c)).astype(np.float32)
+    v = rng.standard_normal((b, t, c)).astype(np.float32)
+    rel_pe = rng.standard_normal((h, win)).astype(np.float32)
+    lens = np.array([t, max(4, t // 3)])
+    mask = np.arange(t)[None] < lens[:, None]
+
+    dense = mops.band_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), jnp.asarray(mask),
+                                n_head=h, window_size=win,
+                                rel_pe=jnp.asarray(rel_pe))
+    ours = band_attention_pallas(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), jnp.asarray(mask),
+                                 n_head=h, window_size=win, block=block,
+                                 rel_pe=jnp.asarray(rel_pe),
+                                 interpret=True)
+    dense = np.asarray(dense) * mask[..., None]
+    ours = np.asarray(ours) * mask[..., None]
+    np.testing.assert_allclose(ours, dense, atol=2e-5, rtol=2e-5)

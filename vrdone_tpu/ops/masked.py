@@ -218,22 +218,25 @@ def band_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
 
 
 # Minimum sequence length at which the blocked Pallas kernel beats the
-# dense band-masked formulation on TPU (below this the full T x T pass is a
-# single well-tiled MXU program and the band only trims ~25% of the FLOPs).
-PALLAS_BAND_MIN_T = 1024
+# dense band-masked formulation on TPU. Benchmark-derived on the real
+# chip at the streaming runner's batch shape (B=32, C=128, win=19):
+# T=512 dense 2.57 ms / pallas 2.86 ms; T=768 3.83 / 3.79 (cross-over);
+# T=1024 5.74 / 4.75. The kernel also avoids the dense form's O(B*H*T^2)
+# score materialisation, which dominates HBM past a few thousand frames.
+PALLAS_BAND_MIN_T = 768
 
 
 def band_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
                         n_head: int, window_size: int,
                         rel_pe: Array | None = None) -> Array:
     """band_attention with automatic kernel selection: the O(T * 3B) Pallas
-    kernel on TPU for long sequences, the dense formulation otherwise."""
+    kernel on TPU for long sequences (with or without rel-PE), the dense
+    formulation otherwise."""
     t = q.shape[1]
-    if (rel_pe is None and t >= PALLAS_BAND_MIN_T
-            and jax.default_backend() == "tpu"):
+    if t >= PALLAS_BAND_MIN_T and jax.default_backend() == "tpu":
         from .pallas.band_attention import band_attention_pallas
         return band_attention_pallas(q, k, v, kv_mask, n_head=n_head,
-                                     window_size=window_size)
+                                     window_size=window_size, rel_pe=rel_pe)
     return band_attention(q, k, v, kv_mask, n_head=n_head,
                           window_size=window_size, rel_pe=rel_pe)
 

@@ -30,9 +30,13 @@ NEG_BIG = -1e4   # in-band invalid-key additive mask (parity with reference)
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _band_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
-                 acc_ref, m_ref, l_ref, *, w: int, block: int,
-                 nb: int, scale: float):
+def _band_kernel(q_ref, k_ref, v_ref, kvm_ref, *refs, w: int, block: int,
+                 nb: int, scale: float, with_pe: bool):
+    if with_pe:
+        pe_ref, o_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        pe_ref = None
     bi = pl.program_id(1)   # query block index
     j = pl.program_id(2)    # neighbour index 0..2 -> key block bi-1+j
 
@@ -59,6 +63,9 @@ def _band_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
         k_pos = kb * block + jax.lax.broadcasted_iota(
             jnp.int32, (block, block), 1)
         in_band = jnp.abs(q_pos - k_pos) <= w
+        if pe_ref is not None:
+            # precomputed per-(head, neighbour) relative-position bias
+            s = s + pe_ref[0, 0]
         # additive -1e4 for invalid keys (kvm holds 0 / -1e4)
         s = s + kvm_ref[0][:, 0][None, :]
         s = jnp.where(in_band, s, NEG_INF)
@@ -85,11 +92,14 @@ def _band_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
                                              "block", "interpret"))
 def band_attention_pallas(q, k, v, kv_mask, *, n_head: int,
                           window_size: int, block: int = 128,
-                          interpret: bool = False):
-    """Drop-in for ops.masked.band_attention (no rel-PE path).
+                          rel_pe=None, interpret: bool = False):
+    """Drop-in for ops.masked.band_attention.
 
     q, k, v: (B, T, C); kv_mask: (B, T) bool. Returns (B, T, C).
-    q is unscaled; 1/sqrt(d) is applied inside.
+    q is unscaled; 1/sqrt(d) is applied inside. rel_pe: optional
+    (n_head, window_size) relative-position bias added inside the band
+    (reference blocks.py rel-PE) — expanded host-side to per-neighbour
+    (H, 3, block, block) bias tiles so the kernel adds one VMEM block.
     """
     b, t, c = q.shape
     d = c // n_head
@@ -120,17 +130,34 @@ def band_attention_pallas(q, k, v, kv_mask, *, n_head: int,
     def clamp_kb(h, i, j):
         return (h, jnp.clip(i - 1 + j, 0, nb - 1), 0)
 
+    in_specs = [
+        pl.BlockSpec((1, block, d), lambda h, i, j: (h, i, 0)),
+        pl.BlockSpec((1, block, d), clamp_kb),
+        pl.BlockSpec((1, block, d), clamp_kb),
+        pl.BlockSpec((1, block, 1), lambda h, i, j:
+                     (h, jnp.clip(i - 1 + j, 0, nb - 1), 0)),
+    ]
+    inputs = [qh, kh, vh, kvm]
+    if rel_pe is not None:
+        # bias[h, n, qi, ki] = rel_pe[h, ((n-1)*block + ki - qi) + w]
+        # inside the band, 0 elsewhere (out-of-band is hard-masked anyway)
+        qi = jnp.arange(block)[:, None]
+        ki = jnp.arange(block)[None, :]
+        off = (jnp.arange(3)[:, None, None] - 1) * block + ki - qi  # (3,b,b)
+        idx = jnp.clip(off + w, 0, window_size - 1)
+        bias = rel_pe.astype(jnp.float32)[:, idx]      # (H, 3, blk, blk)
+        bias = bias * (jnp.abs(off) <= w)[None]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block, block),
+            lambda h, i, j: (jax.lax.rem(h, n_head), j, 0, 0)))
+        inputs.append(bias)
+
     out = pl.pallas_call(
         functools.partial(_band_kernel, w=w, block=block, nb=nb,
-                          scale=1.0 / np.sqrt(d)),
+                          scale=1.0 / np.sqrt(d),
+                          with_pe=rel_pe is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block, d), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, block, d), clamp_kb),
-            pl.BlockSpec((1, block, d), clamp_kb),
-            pl.BlockSpec((1, block, 1), lambda h, i, j:
-                         (h, jnp.clip(i - 1 + j, 0, nb - 1), 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block, d), lambda h, i, j: (h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * n_head, tp, d), q.dtype),
         scratch_shapes=[
@@ -141,7 +168,7 @@ def band_attention_pallas(q, k, v, kv_mask, *, n_head: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qh, kh, vh, kvm)
+    )(*inputs)
 
     out = (out.reshape(b, n_head, tp, d).transpose(0, 2, 1, 3)
            .reshape(b, tp, c))
