@@ -158,3 +158,55 @@ def test_mega_detector_losses_end_to_end_grad():
     (total2, _), _ = loss_and_grad(params, mem2)
     assert abs(float(total2) - float(total)) > 1e-7, \
         "memory frames don't affect the training loss"
+
+
+@pytest.mark.slow
+def test_detector_train_step_dp_mesh():
+    """Data-parallel detector training on the 8-device CPU mesh: the
+    batch axis is sharded over dp, the step runs, losses are finite, and
+    parameters actually move (gradient all-reduce inserted by XLA)."""
+    import optax
+
+    from vrdone_tpu.models.detector import MegaDetector
+    from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+
+    det = MegaDetector(num_classes=5, resnet_layers=(1, 1, 1),
+                       stage=2, groups=4, base_num=4, window=3,
+                       key_loc=1, global_size=2)
+    rng = np.random.default_rng(3)
+    b, h, w = 8, 64, 96
+    batch = {
+        "key": rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32),
+        "local": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
+        "mem": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
+        "glob": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
+        "gt_boxes": np.tile(np.array([[[10, 10, 50, 40]]], np.float32),
+                            (b, 1, 1)),
+        "gt_labels": np.full((b, 1), 2, np.int32),
+        "gt_valid": np.ones((b, 1), bool),
+    }
+    hw = jnp.asarray([h, w])
+
+    params = DT.init_train_params(
+        det, jax.random.key(0), jnp.asarray(batch["key"][0]),
+        jnp.asarray(batch["local"][0]), jnp.asarray(batch["mem"][0]),
+        jnp.asarray(batch["glob"][0]), hw, post_nms_top_n=8)
+
+    mesh = make_mesh(n_dp=8, n_tp=1)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    step = DT.make_detector_train_step(det, tx, image_hw=(h, w),
+                                       post_nms_top_n=8)
+
+    with mesh:
+        sharded = shard_batch(mesh, {k: jnp.asarray(v)
+                                     for k, v in batch.items()})
+        p0 = jax.tree.map(lambda x: np.asarray(x), params)
+        params2, opt_state, losses = step(params, opt_state, sharded,
+                                          jax.random.key(1))
+    total = float(losses["total_loss"])
+    assert np.isfinite(total), {k: float(v) for k, v in losses.items()}
+    moved = max(float(np.abs(np.asarray(b) - a).max())
+                for a, b in zip(jax.tree.leaves(p0),
+                                jax.tree.leaves(params2)))
+    assert moved > 0

@@ -34,7 +34,6 @@ import optax
 
 from vrdone_tpu.models.detector import MegaDetector
 from vrdone_tpu.models.detector_train import (init_train_params,
-                                              mega_detector_losses,
                                               sample_ref_indices)
 from vrdone_tpu.train.optim import multistep_schedule
 from vrdone_tpu.utils.logging import setup_logger
@@ -128,6 +127,10 @@ def main():
     p.add_argument("--base_num", type=int, default=75,
                    help="ref proposals per frame (REF_POST_NMS_TOP_N)")
     p.add_argument("--post_nms_top_n", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="samples per step; sharded over the dp mesh when "
+                        "divisible by the device count (reference "
+                        "IMS_PER_BATCH over DDP ranks)")
     p.add_argument("--log_interval", type=int, default=50)
     p.add_argument("--save_interval", type=int, default=10000)
     p.add_argument("--eval_interval", type=int, default=0,
@@ -239,21 +242,40 @@ def main():
                      optax.sgd(schedule, momentum=0.9))
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, key_img, loc, mem, glob, gt_boxes,
-             gt_labels, gt_valid, key):
-        def loss_fn(params):
-            out = mega_detector_losses(
-                det, params, key_img, loc,
-                mem if args.n_mem else None,
-                glob if args.n_glob else None, image_hw, gt_boxes,
-                gt_labels, gt_valid, key,
-                post_nms_top_n=args.post_nms_top_n)
-            return out["total_loss"], out
-        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, losses
+    from vrdone_tpu.models.detector_train import make_detector_train_step
+    from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+    step = make_detector_train_step(det, tx, image_hw=tuple(args.canvas),
+                                    post_nms_top_n=args.post_nms_top_n)
+    n_dev = len(jax.devices())
+    n_dp = n_dev if args.batch_size % n_dev == 0 else 1
+    mesh = make_mesh(n_dp=n_dp)
+    logger.info(f"batch {args.batch_size} over dp={n_dp} mesh")
+
+    def make_batch():
+        bs = args.batch_size
+        g = args.max_gt
+        batch = {"key": [], "local": [], "mem": [], "glob": [],
+                 "gt_boxes": np.zeros((bs, g, 4), np.float32),
+                 "gt_labels": np.zeros((bs, g), np.int32),
+                 "gt_valid": np.zeros((bs, g), bool)}
+        for i in range(bs):
+            img, loc_i, mem_i, glob_i, boxes, cats = load_sample(
+                int(rng.integers(0, n_samples)))
+            canvas, boxes_r, (locc, memc, globc) = pack(
+                img, boxes, [loc_i, mem_i, glob_i])
+            batch["key"].append(canvas)
+            batch["local"].append(locc)
+            batch["mem"].append(memc)
+            batch["glob"].append(globc)
+            n = min(len(boxes_r), g)
+            batch["gt_boxes"][i, :n] = boxes_r[:n]
+            batch["gt_labels"][i, :n] = (
+                np.asarray(cats[:n], np.int32) if cats_are_ids
+                else [name_to_id[c] for c in cats[:n]])
+            batch["gt_valid"][i, :n] = True
+        for k in ("key", "local", "mem", "glob"):
+            batch[k] = np.stack(batch[k])
+        return batch
 
     from vrdone_tpu.utils.metric_logger import MetricLogger
     meters = MetricLogger()
@@ -261,26 +283,14 @@ def main():
     t0 = time.time()
     t_data = time.time()
     for it in range(args.iters):
-        img, loc_i, mem_i, glob_i, boxes, cats = load_sample(
-            int(rng.integers(0, n_samples)))
-        canvas, boxes_r, (locc, memc, globc) = pack(
-            img, boxes, [loc_i, mem_i, glob_i])
-        g = args.max_gt
-        gt_boxes = np.zeros((g, 4), np.float32)
-        gt_labels = np.zeros((g,), np.int32)
-        gt_valid = np.zeros((g,), bool)
-        n = min(len(boxes_r), g)
-        gt_boxes[:n] = boxes_r[:n]
-        gt_labels[:n] = (np.asarray(cats[:n], np.int32) if cats_are_ids
-                         else [name_to_id[c] for c in cats[:n]])
-        gt_valid[:n] = True
+        batch = make_batch()
         data_time = time.time() - t_data
 
-        params, opt_state, losses = step(
-            params, opt_state, jnp.asarray(canvas), jnp.asarray(locc),
-            jnp.asarray(memc), jnp.asarray(globc),
-            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
-            jnp.asarray(gt_valid), jax.random.fold_in(key, it))
+        with mesh:
+            sharded = shard_batch(mesh, {k: jnp.asarray(v)
+                                         for k, v in batch.items()})
+            params, opt_state, losses = step(params, opt_state, sharded,
+                                             jax.random.fold_in(key, it))
 
         meters.update(data_time=data_time,
                       batch_time=time.time() - t_data,

@@ -255,6 +255,52 @@ def init_train_params(det_module, rng_key, key_image: Array,
     return jax.jit(lambda k: det_module.init(k, method=fwd))(rng_key)
 
 
+def make_detector_train_step(det_module, tx, *, image_hw,
+                             post_nms_top_n: int = 128):
+    """Jitted data-parallel detector train step over a dp mesh.
+
+    The reference trains MEGA with DDP (one sample per GPU,
+    IMS_PER_BATCH=2 over 2 GPUs, train_mega.py:53-58); here the batch
+    leading axis is sharded over the mesh "dp" axis (parallel/mesh.py
+    shard_batch) and XLA inserts the gradient all-reduce.
+
+    batch dict: key (B,H,W,3), local (B,L,H,W,3), mem (B,M,H,W,3) with
+    M=0 to disable, glob (B,G,H,W,3) with G=0 to disable, gt_boxes
+    (B,Gt,4), gt_labels (B,Gt), gt_valid (B,Gt).
+    """
+    import optax
+
+    hw = jnp.asarray(image_hw)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        b = batch["key"].shape[0]
+        use_mem = batch["mem"].shape[1] > 0
+        use_glob = batch["glob"].shape[1] > 0
+
+        def loss_fn(params):
+            def one(key_img, loc, mem, glob, gtb, gtl, gtv, k):
+                return mega_detector_losses(
+                    det_module, params, key_img, loc,
+                    mem if use_mem else None,
+                    glob if use_glob else None, hw, gtb, gtl, gtv, k,
+                    post_nms_top_n=post_nms_top_n)
+            keys = jax.random.split(rng, b)
+            losses = jax.vmap(one)(batch["key"], batch["local"],
+                                   batch["mem"], batch["glob"],
+                                   batch["gt_boxes"], batch["gt_labels"],
+                                   batch["gt_valid"], keys)
+            mean = jax.tree.map(jnp.mean, losses)
+            return mean["total_loss"], mean
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return step
+
+
 def sample_ref_indices(rng: np.random.Generator, frame_id: int,
                        seg_len: int, *, n_local: int = 2, n_mem: int = 3,
                        n_glob: int = 2, min_offset: int = -12,
