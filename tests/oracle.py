@@ -429,3 +429,71 @@ def mega_head_params(M):
         p[f"g_Wv{i}"] = grouped(M.g_Wvs[i])
         p[f"g_u{i}"] = t2n(M.g_us[i])[:, 0, :]
     return p
+
+
+def make_reference_rdn(rbfe, *, in_dim, feat_dim, groups, base_stage,
+                       advanced_stage, advanced_num, base_num, seed=0):
+    """Instantiate RDNFeatureExtractor with hand-built parameter lists
+    (bypassing the cfg/ResNet __init__); attention_module_multi_head and
+    cal_position_embedding run unmodified reference code."""
+    import torch
+    from torch import nn
+
+    torch.manual_seed(seed)
+    M = rbfe.RDNFeatureExtractor.__new__(rbfe.RDNFeatureExtractor)
+    nn.Module.__init__(M)
+    M.embed_dim = 64
+    M.groups = groups
+    M.feat_dim = feat_dim
+    M.base_stage = base_stage
+    M.advanced_stage = advanced_stage
+    M.base_num = base_num
+    M.advanced_num = advanced_num
+
+    fcs, Wgs, Wqs, Wks, Wvs = [], [], [], [], []
+    for i in range(base_stage + advanced_stage + 1):
+        r_size = in_dim if i == 0 else feat_dim
+        if i == base_stage and advanced_stage == 0:
+            break
+        if i != base_stage + advanced_stage:
+            fcs.append(nn.Linear(r_size, feat_dim))
+        Wgs.append(nn.Conv2d(M.embed_dim, groups, 1))
+        Wqs.append(nn.Linear(feat_dim, feat_dim))
+        Wks.append(nn.Linear(feat_dim, feat_dim))
+        Wvs.append(nn.Conv2d(feat_dim * groups, feat_dim, 1, groups=groups))
+    M.fcs = nn.ModuleList(fcs)
+    M.Wgs = nn.ModuleList(Wgs)
+    M.Wqs = nn.ModuleList(Wqs)
+    M.Wks = nn.ModuleList(Wks)
+    M.Wvs = nn.ModuleList(Wvs)
+    M.eval()
+    return M
+
+
+def rdn_head_params(M):
+    """Reference RDNFeatureExtractor module lists -> our RDNHead params."""
+    g = M.groups
+    fd = M.feat_dim
+    dg = fd // g
+
+    def lin(layer):
+        return {"kernel": t2n(layer.weight).T, "bias": t2n(layer.bias)}
+
+    def conv1x1(layer):
+        w = t2n(layer.weight)[:, :, 0, 0]
+        return {"kernel": w.T, "bias": t2n(layer.bias)}
+
+    def grouped(layer):
+        w = t2n(layer.weight)[:, :, 0, 0]
+        kern = np.stack([w[i * dg:(i + 1) * dg, :].T for i in range(g)])
+        return {"kernel": kern, "bias": t2n(layer.bias)}
+
+    p = {}
+    for i, layer in enumerate(M.fcs):
+        p[f"fc{i}"] = lin(layer)
+    for i in range(len(M.Wgs)):
+        p[f"Wg{i}"] = conv1x1(M.Wgs[i])
+        p[f"Wq{i}"] = lin(M.Wqs[i])
+        p[f"Wk{i}"] = lin(M.Wks[i])
+        p[f"Wv{i}"] = grouped(M.Wvs[i])
+    return p
