@@ -28,6 +28,7 @@ from copy import deepcopy
 import numpy as np
 
 from . import features as F
+from . import memmap_cache
 from .category import (vidor_category_name_to_id, vidor_pred_name_to_id,
                        vidvrd_category_name_to_id, vidvrd_pred_name_to_id)
 
@@ -207,6 +208,13 @@ class PairDataset:
         self.cache_in_memory = config.get("cache_in_memory",
                                           self.dataset_name != "VidOR"
                                           or not self.is_train)
+        # memory-mapped packed cache for the out-of-RAM train path: a
+        # train item pages in only the rows its pairs slice instead of
+        # unpickling the whole video (data/memmap_cache.py)
+        self.cache_memmap = config.get("cache_memmap",
+                                       self.is_train
+                                       and not self.cache_in_memory)
+        self._memmap_lru: dict = {}
         self.process_data()
 
     # -- corpus scan -------------------------------------------------------
@@ -232,10 +240,16 @@ class PairDataset:
                 with open(path, "wb") as f:
                     pickle.dump(data, f)
             need = (self.cache_in_memory or not self.is_train
-                    or (self.is_train and not have_policy_file))
+                    or (self.is_train and not have_policy_file)
+                    or (self.cache_memmap
+                        and not memmap_cache.has_packed(self.cache_path,
+                                                        video_name)))
             if data is None and need:
                 with open(path, "rb") as f:
                     data = pickle.load(f)
+            if self.cache_memmap and not memmap_cache.has_packed(
+                    self.cache_path, video_name):
+                memmap_cache.write_packed(self.cache_path, video_name, data)
             if self.cache_in_memory or not self.is_train:
                 self.video_features[video_name] = data
             if self.is_train and not have_policy_file and len(data) != 0:
@@ -393,9 +407,11 @@ class PairDataset:
             o_d = so_start - o_iv[0]
             span = so_end - so_start
 
-            s_feat = _np(visual_features[s_idx][s_k])[s_d:s_d + span]
+            # slice BEFORE coercing so memmap-backed caches only page in
+            # the rows this pair touches
+            s_feat = _np(visual_features[s_idx][s_k][s_d:s_d + span])
             s_feat = s_feat[start_offset::self.feat_stride]
-            o_feat = _np(visual_features[o_idx][o_k])[o_d:o_d + span]
+            o_feat = _np(visual_features[o_idx][o_k][o_d:o_d + span])
             o_feat = o_feat[start_offset::self.feat_stride]
             if s_feat.shape[0] < 2:
                 continue
@@ -411,8 +427,8 @@ class PairDataset:
 
             streams = [s_feat, o_feat]
             if self.with_clip_feature:
-                s_clip = _np(clip_features[s_idx][s_k])[s_d:s_d + span]
-                o_clip = _np(clip_features[o_idx][o_k])[o_d:o_d + span]
+                s_clip = _np(clip_features[s_idx][s_k][s_d:s_d + span])
+                o_clip = _np(clip_features[o_idx][o_k][o_d:o_d + span])
                 streams += [s_clip[start_offset::self.feat_stride],
                             o_clip[start_offset::self.feat_stride]]
             streams += [so_bbox_feat, s_bbox_feat, o_bbox_feat]
@@ -461,6 +477,17 @@ class PairDataset:
     def _load_video(self, video_name: str) -> dict:
         if self.cache_in_memory and self.video_features.get(video_name) is not None:
             return self.video_features[video_name]
+        if self.cache_memmap and memmap_cache.has_packed(self.cache_path,
+                                                         video_name):
+            # small LRU of open memmap handles (handles are cheap; the
+            # data itself stays on disk until sliced)
+            data = self._memmap_lru.pop(video_name, None)
+            if data is None:
+                data = memmap_cache.load_packed(self.cache_path, video_name)
+            self._memmap_lru[video_name] = data
+            while len(self._memmap_lru) > 64:
+                self._memmap_lru.pop(next(iter(self._memmap_lru)))
+            return data
         with open(os.path.join(self.cache_path, video_name + ".pkl"),
                   "rb") as f:
             return pickle.load(f)
