@@ -199,3 +199,31 @@ def test_postprocess_tta_multiscale():
     assert len(combo["boxes"]) == len(single["boxes"])
     np.testing.assert_allclose(np.sort(combo["scores"]),
                                np.sort(single["scores"]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_detect_video_tta_end_to_end():
+    """Full TTA sweep (identity + hflip + 0.75x scale +- flip): runs all
+    views through the model and merges per-class pools in the original
+    frame — every returned box must lie inside the original canvas."""
+    from vrdone_tpu.models.detector import detect_video_tta
+
+    det = _tiny_detector()
+    rng = np.random.default_rng(7)
+    t = 3
+    images = rng.uniform(0, 255, (t, 96, 128, 3)).astype(np.float32)
+    hw = np.asarray([96, 128], np.float32)
+
+    from tools.detect_and_track import init_detector_params
+    params = init_detector_params(det, images[0], jnp.asarray(hw),
+                                  key_post_nms=8)
+    results = detect_video_tta(det, params, images, hw, scales=(0.75,),
+                               hflip=True, key_post_nms=8,
+                               score_thresh=0.01)
+    assert len(results) == t
+    for res in results:
+        assert set(res) == {"boxes", "scores", "labels"}
+        if len(res["boxes"]):
+            assert (res["boxes"][:, 0] >= 0).all()
+            assert (res["boxes"][:, 2] <= 127).all()
+            assert (res["boxes"][:, 3] <= 95).all()
