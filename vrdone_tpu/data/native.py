@@ -34,6 +34,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
     lib.pack_pairs.restype = None
+    lib.pack_pairs_nz.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
+    lib.pack_pairs_nz.restype = None
     _LIB = lib
     return _LIB
 
@@ -71,20 +77,24 @@ def viou_dedup(bboxes_list: list[np.ndarray], durations: np.ndarray,
 
 def pack_pairs(features: list[np.ndarray], pack: int, t: int,
                c: int) -> tuple[np.ndarray, np.ndarray]:
-    """Pack ragged (T_i, C) features into ((pack, t, c), (pack, t) bool)."""
+    """Pack ragged (T_i, C) features into ((pack, t, c), (pack, t) bool).
+
+    Zero-copy-padding: the outputs come from np.zeros (calloc), and the
+    native side only writes payload rows (pack_pairs_nz) — padding stays
+    on kernel zero pages, so the host-memory traffic is the payload, not
+    the full buffer."""
     lib = _load()
     if not lib:
         raise RuntimeError("native library not built")
     n = len(features)
-    src = (np.ascontiguousarray(np.concatenate(features, axis=0),
-                                dtype=np.float32)
-           if n else np.zeros((0, c), np.float32))
-    offsets = np.zeros(n + 1, np.int64)
-    if n:
-        np.cumsum([f.shape[0] for f in features], out=offsets[1:])
-    out = np.empty((pack, t, c), np.float32)
-    mask = np.empty((pack, t), np.uint8)
-    lib.pack_pairs(_ptr(src, ctypes.c_float), _ptr(offsets, ctypes.c_int64),
-                   n, pack, t, c, _ptr(out, ctypes.c_float),
-                   _ptr(mask, ctypes.c_uint8))
+    feats = [np.ascontiguousarray(f, dtype=np.float32) for f in features]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * max(n, 1))(
+        *[f.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+          for f in feats] or [ctypes.POINTER(ctypes.c_float)()])
+    lens = np.asarray([f.shape[0] for f in feats] or [0], np.int64)
+    out = np.zeros((pack, t, c), np.float32)
+    mask = np.zeros((pack, t), np.uint8)
+    lib.pack_pairs_nz(ptrs, _ptr(lens, ctypes.c_int64),
+                      n, pack, t, c, _ptr(out, ctypes.c_float),
+                      _ptr(mask, ctypes.c_uint8))
     return out, mask.astype(bool)
