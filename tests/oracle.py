@@ -497,3 +497,65 @@ def rdn_head_params(M):
         p[f"Wk{i}"] = lin(M.Wks[i])
         p[f"Wv{i}"] = grouped(M.Wvs[i])
     return p
+
+
+def load_flownet_reference():
+    """Import the reference FlowNetS / EmbedNet / GeneralizedRCNNFGFA /
+    GeneralizedRCNNDFF modules (after stub installation)."""
+    load_mega_reference()
+    from mega_core.modeling.backbone import embednet as ref_embednet
+    from mega_core.modeling.backbone import flownet as ref_flownet
+    from mega_core.modeling.detector import (generalized_rcnn_dff,
+                                             generalized_rcnn_fgfa)
+    return ref_flownet, ref_embednet, generalized_rcnn_fgfa, \
+        generalized_rcnn_dff
+
+
+def make_reference_flownet(ref_flownet, method="fgfa", seed=0):
+    import types
+
+    import torch
+
+    torch.manual_seed(seed)
+    cfg = types.SimpleNamespace(MODEL=types.SimpleNamespace(
+        VID=types.SimpleNamespace(METHOD=method)))
+    M = ref_flownet.FlowNetS(cfg)
+    M.eval()
+    return M
+
+
+def flownet_params(M):
+    """torch FlowNetS -> our FlowNetS params."""
+    def conv(layer):
+        return {"kernel": t2n(layer.weight).transpose(2, 3, 1, 0),
+                "bias": t2n(layer.bias)}
+
+    def convT(layer):
+        # torch ConvTranspose2d weight (I, O, kh, kw) -> flax
+        # transpose_kernel=True kernel (kh, kw, O, I)
+        return {"kernel": t2n(layer.weight).transpose(2, 3, 1, 0),
+                "bias": t2n(layer.bias)}
+
+    p = {}
+    for name in ("flow_conv1", "conv2", "conv3", "conv3_1", "conv4",
+                 "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1",
+                 "Convolution1", "Convolution2", "Convolution3",
+                 "Convolution4", "Convolution5"):
+        p[name] = conv(getattr(M, name))
+    for name in ("deconv5", "deconv4", "deconv3", "deconv2",
+                 "upsample_flow6to5", "upsample_flow5to4",
+                 "upsample_flow4to3", "upsample_flow3to2"):
+        p[name] = convT(getattr(M, name))
+    if hasattr(M, "Convolution5_scale"):
+        w = t2n(M.Convolution5_scale.weight).transpose(2, 3, 1, 0)
+        p["Convolution5_scale"] = {"kernel": w}
+    return p
+
+
+def embednet_params(M):
+    def conv(layer):
+        return {"kernel": t2n(layer.weight).transpose(2, 3, 1, 0),
+                "bias": t2n(layer.bias)}
+    return {"embed_conv1": conv(M.embed_conv1),
+            "embed_conv2": conv(M.embed_conv2),
+            "embed_conv3": conv(M.embed_conv3)}
