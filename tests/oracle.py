@@ -559,3 +559,122 @@ def embednet_params(M):
     return {"embed_conv1": conv(M.embed_conv1),
             "embed_conv2": conv(M.embed_conv2),
             "embed_conv3": conv(M.embed_conv3)}
+
+
+def make_reference_resnet_c4(layers=(3, 4, 23), seed=0):
+    """Build the reference mega_core ResNet C4 body (StemWithFixedBatchNorm
+    + BottleneckWithFixedBatchNorm, STRIDE_IN_1X1=True). layers selects
+    the R-50 (3,4,6) or R-101 (3,4,23) stage spec by name."""
+    import torch
+
+    load_mega_reference()
+    from mega_core.modeling.backbone import resnet as ref_resnet
+
+    class _CN(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    cfg = _CN()
+    cfg.MODEL = _CN()
+    cfg.MODEL.RESNETS = _CN()
+    R = cfg.MODEL.RESNETS
+    R.STEM_FUNC = "StemWithFixedBatchNorm"
+    R.TRANS_FUNC = "BottleneckWithFixedBatchNorm"
+    R.NUM_GROUPS = 1
+    R.WIDTH_PER_GROUP = 64
+    R.STRIDE_IN_1X1 = True
+    R.RES2_OUT_CHANNELS = 256
+    R.RES5_DILATION = 1
+    R.STEM_OUT_CHANNELS = 64
+    R.DEFORMABLE_GROUPS = 1
+    R.STAGE_WITH_DCN = (False, False, False, False)
+    R.WITH_MODULATED_DCN = False
+    cfg.MODEL.BACKBONE = _CN()
+    cfg.MODEL.BACKBONE.CONV_BODY = ("R-50-C4" if layers == (3, 4, 6)
+                                    else "R-101-C4")
+    cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+
+    torch.manual_seed(seed)
+    M = ref_resnet.ResNet(cfg)
+    # randomize the frozen-BN buffers too (they init to identity)
+    g = torch.Generator().manual_seed(seed + 1)
+    for mod in M.modules():
+        if mod.__class__.__name__ == "FrozenBatchNorm2d":
+            mod.weight.copy_(torch.rand(mod.weight.shape, generator=g)
+                             + 0.5)
+            mod.bias.copy_(torch.randn(mod.bias.shape, generator=g) * 0.1)
+            mod.running_mean.copy_(
+                torch.randn(mod.running_mean.shape, generator=g) * 0.1)
+            mod.running_var.copy_(
+                torch.rand(mod.running_var.shape, generator=g) + 0.5)
+    M.eval()
+    return M, ref_resnet
+
+
+def _frozen_bn_params(bn):
+    """mega_core FrozenBatchNorm2d -> our FrozenBatchNorm params. The
+    reference applies NO epsilon (batch_norm.py:27); ours adds 1e-5, so
+    the transplant subtracts it for exact parity."""
+    return {"weight": t2n(bn.weight), "bias": t2n(bn.bias),
+            "running_mean": t2n(bn.running_mean),
+            "running_var": t2n(bn.running_var) - 1e-5}
+
+
+def _bottleneck_params(b):
+    def conv(l):
+        return {"conv": {"kernel": t2n(l.weight).transpose(2, 3, 1, 0)}}
+
+    p = {"conv1": conv(b.conv1), "bn1": _frozen_bn_params(b.bn1),
+         "conv2": conv(b.conv2), "bn2": _frozen_bn_params(b.bn2),
+         "conv3": conv(b.conv3), "bn3": _frozen_bn_params(b.bn3)}
+    if b.downsample is not None:
+        p["downsample_conv"] = conv(b.downsample[0])
+        p["downsample_bn"] = _frozen_bn_params(b.downsample[1])
+    return p
+
+
+def resnet_c4_params(M):
+    """Reference mega_core ResNet (C4 body) -> our ResNetC4 params."""
+    p = {"stem": {"conv": {"kernel":
+                           t2n(M.stem.conv1.weight).transpose(2, 3, 1, 0)}},
+         "stem_bn": _frozen_bn_params(M.stem.bn1)}
+    for li in (1, 2, 3):
+        stage = getattr(M, f"layer{li}")
+        sp = {}
+        for bi, block in enumerate(stage):
+            sp[f"block{bi}"] = _bottleneck_params(block)
+        p[f"layer{li}"] = sp
+    return p
+
+
+def resnet_head_params(H):
+    """Reference ResNetHead (C5 stage) -> our ResNetC5Head params."""
+    sp = {}
+    for bi, block in enumerate(H.layer4):
+        sp[f"block{bi}"] = _bottleneck_params(block)
+    return {"layer4": sp}
+
+
+def make_reference_rpn_head(in_channels=1024, num_anchors=15, seed=0):
+    import torch
+
+    load_mega_reference()
+    from mega_core.modeling.rpn import rpn as ref_rpn
+    torch.manual_seed(seed)
+    M = ref_rpn.RPNHead(None, in_channels, num_anchors)
+    M.eval()
+    return M
+
+
+def rpn_head_params(M):
+    def conv(l):
+        return {"kernel": t2n(l.weight).transpose(2, 3, 1, 0),
+                "bias": t2n(l.bias)}
+    return {"conv": conv(M.conv), "cls_logits": conv(M.cls_logits),
+            "bbox_pred": conv(M.bbox_pred)}

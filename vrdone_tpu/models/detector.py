@@ -46,10 +46,13 @@ class BoxHead(nn.Module):
     FPNPredictor over MEGAFeatureExtractor output)."""
     num_classes: int
     c5_blocks: int = 3
+    stride_in_1x1: bool = False
 
     def setup(self):
         from .resnet import ResNetC5Head
-        self.c5 = ResNetC5Head(self.c5_blocks, name="c5")
+        self.c5 = ResNetC5Head(self.c5_blocks,
+                               stride_in_1x1=self.stride_in_1x1,
+                               name="c5")
         self.cls_score = nn.Dense(self.num_classes + 1,
                                   kernel_init=nn.initializers.normal(0.01),
                                   name="cls_score")
@@ -93,6 +96,10 @@ class MegaDetector(nn.Module):
     key_loc: int = 12
     global_size: int = 10
     advanced_num_override: int | None = None
+    # stride placement in bottlenecks: False = torchvision v1.5+ (the
+    # tools/convert_torch_resnet.py checkpoint lineage), True = Caffe2 /
+    # reference mega_core (RESNETS.STRIDE_IN_1X1 default True)
+    stride_in_1x1: bool = False
 
     @property
     def advanced_num(self) -> int:
@@ -107,9 +114,13 @@ class MegaDetector(nn.Module):
 
     def setup(self):
         from .resnet import ResNetC4
-        self.backbone = ResNetC4(self.resnet_layers, name="backbone")
+        self.backbone = ResNetC4(self.resnet_layers,
+                                 stride_in_1x1=self.stride_in_1x1,
+                                 name="backbone")
         self.rpn_head = rpn_lib.RPNHead(name="rpn")
-        self.box_head = BoxHead(self.num_classes, name="box_head")
+        self.box_head = BoxHead(self.num_classes,
+                                stride_in_1x1=self.stride_in_1x1,
+                                name="box_head")
         self.mega = make_mega_head(self, name="mega")
 
     def features(self, images: Array) -> Array:

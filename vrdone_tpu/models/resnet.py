@@ -55,21 +55,26 @@ class Conv(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 bottleneck with frozen BN; stride on the 3x3
-    (torchvision v1.5+ / maskrcnn STRIDE_IN_1X1=False convention)."""
+    """1x1 -> 3x3 -> 1x1 bottleneck with frozen BN. stride_in_1x1 selects
+    where the stride lands: False = on the 3x3 (torchvision v1.5+),
+    True = on the first 1x1 (the Caffe2 lineage the reference detector
+    uses, mega_core RESNETS.STRIDE_IN_1X1 default True)."""
     planes: int
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         out_ch = self.planes * self.expansion
         identity = x
-        h = Conv(self.planes, 1, name="conv1")(x)
+        s1, s3 = ((self.stride, 1) if self.stride_in_1x1
+                  else (1, self.stride))
+        h = Conv(self.planes, 1, stride=s1, name="conv1")(x)
         h = FrozenBatchNorm(self.planes, name="bn1")(h)
         h = jax.nn.relu(h)
-        h = Conv(self.planes, 3, stride=self.stride, name="conv2")(h)
+        h = Conv(self.planes, 3, stride=s3, name="conv2")(h)
         h = FrozenBatchNorm(self.planes, name="bn2")(h)
         h = jax.nn.relu(h)
         h = Conv(out_ch, 1, name="conv3")(h)
@@ -85,13 +90,15 @@ class ResStage(nn.Module):
     planes: int
     blocks: int
     stride: int
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = Bottleneck(self.planes, stride=self.stride, downsample=True,
-                       name="block0")(x)
+                       stride_in_1x1=self.stride_in_1x1, name="block0")(x)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, name=f"block{i}")(x)
+            x = Bottleneck(self.planes, stride_in_1x1=self.stride_in_1x1,
+                           name=f"block{i}")(x)
         return x
 
 
@@ -99,6 +106,7 @@ class ResNetC4(nn.Module):
     """Stem + C2..C4. Input NHWC image tensor; output stride-16 features
     (N, H/16, W/16, 1024). layers=(3, 4, 23) => ResNet-101."""
     layers: Sequence[int] = (3, 4, 23)
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -107,9 +115,12 @@ class ResNetC4(nn.Module):
         h = jax.nn.relu(h)
         # 3x3 max pool stride 2, torch padding 1
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        h = ResStage(64, self.layers[0], stride=1, name="layer1")(h)
-        h = ResStage(128, self.layers[1], stride=2, name="layer2")(h)
-        h = ResStage(256, self.layers[2], stride=2, name="layer3")(h)
+        h = ResStage(64, self.layers[0], stride=1,
+                     stride_in_1x1=self.stride_in_1x1, name="layer1")(h)
+        h = ResStage(128, self.layers[1], stride=2,
+                     stride_in_1x1=self.stride_in_1x1, name="layer2")(h)
+        h = ResStage(256, self.layers[2], stride=2,
+                     stride_in_1x1=self.stride_in_1x1, name="layer3")(h)
         return h
 
 
@@ -119,8 +130,10 @@ class ResNetC5Head(nn.Module):
     (reference roi_box_feature_extractors.py ResNet50Conv5ROIFeatureExtractor
     lineage): (R, 14, 14, 1024) -> (R, 2048)."""
     blocks: int = 3
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = ResStage(512, self.blocks, stride=2, name="layer4")(x)
+        h = ResStage(512, self.blocks, stride=2,
+                     stride_in_1x1=self.stride_in_1x1, name="layer4")(x)
         return jnp.mean(h, axis=(1, 2))
