@@ -1,0 +1,82 @@
+"""Multi-process (multi-host) initialization path.
+
+The reference launches one process per GPU via torchrun and NCCL
+(reference train.py:52-57); our train.py --multihost calls
+jax.distributed.initialize() and forms one global mesh. This test
+actually exercises that machinery: two local CPU processes join a
+coordinator, see each other's devices, build a global dp mesh, and
+reduce a sharded array — the same code path a TPU pod slice uses over
+DCN, shrunk to localhost.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_CHILD = textwrap.dedent("""
+    import os, sys
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)   # no axon/TPU plugin
+    os.environ.pop("PALLAS_AXON_TPU_GEN", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, jax.devices()       # 2 procs x 2
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 1), ("dp", "tp"))
+    sharding = NamedSharding(mesh, P("dp"))
+    # each process contributes its local shard of a global (4, 8) batch
+    global_shape = (4, 8)
+    def local_data(index):
+        row = index[0].start
+        return np.full((1, 8), float(row), np.float32)
+    arr = jax.make_array_from_callback(global_shape, sharding, local_data)
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x)
+
+    out = float(total(arr))                      # cross-process reduce
+    assert out == (0 + 1 + 2 + 3) * 8, out
+    print(f"proc {pid}: global sum {out} OK", flush=True)
+    jax.distributed.shutdown()
+""")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_init(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [subprocess.Popen([sys.executable, str(script), coord, str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
+        assert "OK" in out
