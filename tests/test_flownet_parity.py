@@ -247,3 +247,79 @@ def test_dff_detector_smoke():
     out2 = detect(img_cur, img_key2)
     assert np.abs(np.asarray(out2["cls_logits"])
                   - np.asarray(out["cls_logits"])).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_fgfa_detect_video_driver():
+    """Whole-video FGFA driver: batched precompute + per-frame window
+    aggregation; window frames influence detections."""
+    import jax
+
+    from vrdone_tpu.models.flownet import FGFADetector, fgfa_detect_video
+
+    det = FGFADetector(num_classes=5, resnet_layers=(1, 1, 1), window=3,
+                       key_loc=1)
+    rng = np.random.default_rng(12)
+    t = 3
+    images = rng.uniform(0, 255, (t, 64, 96, 3)).astype(np.float32)
+    hw = np.asarray([64, 96], np.float32)
+
+    def init_run(m, cur, refs):
+        return m.detect_frame(cur, refs, jnp.asarray(hw),
+                              post_nms_top_n=8)
+
+    params = jax.jit(lambda k: det.init(
+        k, jnp.asarray(images[:1]), jnp.asarray(images[1:]),
+        method=init_run))(jax.random.key(0))
+
+    out = fgfa_detect_video(det, params, images, hw, post_nms_top_n=8)
+    assert out["cls_logits"].shape == (t, 8, 6)
+    assert np.isfinite(out["cls_logits"]).all()
+
+    images2 = images.copy()
+    images2[2] = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    out2 = fgfa_detect_video(det, params, images2, hw, post_nms_top_n=8)
+    # frame 1's window is [0,1,2] -> its logits move; frame 0's window is
+    # [0,0,1] (prefill clamps, generalized_rcnn_fgfa.py:163-185) -> fixed
+    assert np.abs(out2["cls_logits"][1] - out["cls_logits"][1]).max() > 1e-6
+    np.testing.assert_allclose(out2["cls_logits"][0], out["cls_logits"][0],
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_dff_detect_video_driver():
+    """DFF driver: key frames run the backbone, others warp key features;
+    a non-key frame's detections depend on its key frame."""
+    import jax
+
+    from vrdone_tpu.models.flownet import DFFDetector, dff_detect_video
+
+    det = DFFDetector(num_classes=5, resnet_layers=(1, 1, 1))
+    rng = np.random.default_rng(13)
+    t = 4
+    images = rng.uniform(0, 255, (t, 64, 96, 3)).astype(np.float32)
+    hw = np.asarray([64, 96], np.float32)
+
+    def init_run(m, cur, key):
+        feats_key = m.features(key)
+        return m.detect_frame(cur, key, feats_key, jnp.asarray(hw),
+                              post_nms_top_n=8)
+
+    params = jax.jit(lambda k: det.init(
+        k, jnp.asarray(images[:1]), jnp.asarray(images[1:2]),
+        method=init_run))(jax.random.key(0))
+
+    out = dff_detect_video(det, params, images, hw, key_interval=2,
+                           post_nms_top_n=8)
+    assert out["cls_logits"].shape == (t, 8, 6)
+    assert np.isfinite(out["cls_logits"]).all()
+
+    images2 = images.copy()
+    images2[2] = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    out2 = dff_detect_video(det, params, images2, hw, key_interval=2,
+                            post_nms_top_n=8)
+    # frame 3 is non-key; its key is frame 2 -> logits move
+    assert np.abs(out2["cls_logits"][3] - out["cls_logits"][3]).max() > 1e-6
+    # frame 1 (key=frame 0) unaffected
+    np.testing.assert_allclose(out2["cls_logits"][1], out["cls_logits"][1],
+                               atol=1e-6)

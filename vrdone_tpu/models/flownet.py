@@ -333,6 +333,78 @@ class FGFADetector(nn.Module):
                               post_nms_top_n=post_nms_top_n)
 
 
+def fgfa_detect_video(det: "FGFADetector", params, images, image_hw, *,
+                      post_nms_top_n: int = 300):
+    """Whole-video FGFA detection (reference fgfa.py:_forward_test,
+    :144-216): per-frame C4 features + embeddings are precomputed in one
+    batched pass; each key frame then warps its 19-frame window's
+    feats+embeds along FlowNetS flow and detects on the cosine-weighted
+    aggregate. images: (T, H, W, 3) array or indexable frame sequence.
+    """
+    t_total = len(images)
+    hw = jnp.asarray(image_hw)
+
+    @jax.jit
+    def precompute(img):
+        def fwd(m):
+            feats = m.features(img[None])
+            return m.fgfa.precompute_frame(feats)
+        return det.apply(params, method=fwd)
+
+    imgs_host = [np.asarray(images[t]) for t in range(t_total)]
+    fe = jnp.concatenate([precompute(jnp.asarray(im))
+                          for im in imgs_host], axis=0)   # (T, h, w, 3072)
+    imgs = jnp.asarray(np.stack(imgs_host))
+
+    @jax.jit
+    def step(t):
+        widx = fgfa_stream_indices(t, jnp.int32(t_total),
+                                   window=det.window, key_loc=det.key_loc)
+        in_win = jnp.argmax((widx == t).astype(jnp.int32))
+        def fwd(m):
+            agg = m.fgfa.aggregate_test(imgs[t][None], imgs[widx],
+                                        fe[widx], in_win)
+            return m.detect_on(agg, hw, post_nms_top_n=post_nms_top_n)
+        return det.apply(params, method=fwd)
+
+    outs = [step(jnp.int32(t)) for t in range(t_total)]
+    return {k: np.stack([np.asarray(o[k]) for o in outs])
+            for k in outs[0]}
+
+
+def dff_detect_video(det: "DFFDetector", params, images, image_hw, *,
+                     key_interval: int = 10, post_nms_top_n: int = 300):
+    """Whole-video DFF detection (reference dff.py:_forward_test,
+    :123-138 + vid_dff key-frame schedule): frames at multiples of
+    key_interval run the backbone; the rest warp the latest key frame's
+    features by flow * scale."""
+    t_total = len(images)
+    hw = jnp.asarray(image_hw)
+
+    @jax.jit
+    def key_feats_of(img):
+        return det.apply(params, img[None],
+                         method=lambda m, im: m.features(im))
+
+    @jax.jit
+    def detect(img_cur, img_key, feats_key):
+        def fwd(m):
+            return m.detect_frame(img_cur[None], img_key[None], feats_key,
+                                  hw, post_nms_top_n=post_nms_top_n)
+        return det.apply(params, method=fwd)
+
+    outs = []
+    img_key = feats_key = None
+    for t in range(t_total):
+        img = jnp.asarray(np.asarray(images[t]))
+        if t % key_interval == 0:
+            img_key = img
+            feats_key = key_feats_of(img)
+        outs.append(detect(img, img_key, feats_key))
+    return {k: np.stack([np.asarray(o[k]) for o in outs])
+            for k in outs[0]}
+
+
 class DFFDetector(nn.Module):
     """GeneralizedRCNNDFF equivalent: key frames run the backbone;
     other frames propagate the key features by flow + scale map."""
