@@ -53,6 +53,25 @@ _CHILD = textwrap.dedent("""
 
     out = float(total(arr))                      # cross-process reduce
     assert out == (0 + 1 + 2 + 3) * 8, out
+
+    # eval-result gather (reference comm.py all_gather / reduce_dict /
+    # inference.py prediction merge), over the same 2-process world
+    sys.path.insert(0, "/root/repo")
+    from vrdone_tpu.parallel.comm import (accumulate_predictions,
+                                          all_gather_objects, reduce_dict)
+
+    # deliberately different payload sizes to exercise the padding path
+    mine = {"rank": pid, "blob": "x" * (10 + 100 * pid)}
+    objs = all_gather_objects(mine)
+    assert [o["rank"] for o in objs] == [0, 1], objs
+    assert len(objs[1]["blob"]) == 110
+
+    losses = reduce_dict({"loss_a": float(pid), "loss_b": 2.0 * pid})
+    assert losses == {"loss_a": 0.5, "loss_b": 1.0}, losses
+
+    merged = accumulate_predictions({2 * pid: "p", 2 * pid + 1: "q"})
+    assert sorted(merged) == [0, 1, 2, 3], merged
+
     print(f"proc {pid}: global sum {out} OK", flush=True)
     jax.distributed.shutdown()
 """)
