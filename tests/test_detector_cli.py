@@ -43,6 +43,13 @@ def test_train_detector_smoke(tmp_path):
         with open(os.path.join(anno_dir, name + ".json"), "w") as f:
             json.dump(anno, f)
 
+    # reference-layout config; explicit CLI flags below keep precedence
+    cfg_path = os.path.join(root, "det.yaml")
+    with open(cfg_path, "w") as f:
+        f.write("MODEL:\n  VID:\n    METHOD: mega\n"
+                "SOLVER:\n  BASE_LR: 0.001\n  WARMUP_ITERS: 1\n"
+                "  STEPS: [2]\n  IMS_PER_BATCH: 1\n")
+
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PYTHONPATH", None)
@@ -50,7 +57,7 @@ def test_train_detector_smoke(tmp_path):
     r = subprocess.run(
         [sys.executable, "tools/train_detector.py",
          "--anno_dir", anno_dir, "--frames_dir", frames_dir,
-         "--exp_dir", exp, "--dataset", "vidvrd",
+         "--exp_dir", exp, "--dataset", "vidvrd", "--cfg", cfg_path,
          "--iters", "2", "--resnet_layers", "1,1,1",
          "--min_size", "64", "--canvas", "64", "96",
          "--max_gt", "4", "--log_interval", "1", "--save_interval", "2",

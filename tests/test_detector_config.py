@@ -1,0 +1,108 @@
+"""Detector config surface: the reference's nested YAML layout parses
+as-is (mega_core/config/defaults.py VID/SOLVER/TEST scope) and the solver
+semantics match torch.optim.SGD with the reference's per-group rules."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vrdone_tpu.detector_config import (DetectorConfig,
+                                        load_detector_config,
+                                        mega_detector_kwargs)
+
+REF_MEGA_YAML = ("/root/reference/datasets/mega/configs/MEGA/"
+                 "vidvrd_R_101_C4_MEGA_1x_2gpu_freq5.yaml")
+
+
+def test_reference_yaml_parses_as_is():
+    cfg = load_detector_config(REF_MEGA_YAML)
+    assert cfg.method == "mega"
+    assert cfg.attention_enable is True
+    assert cfg.stage == 3
+    assert cfg.resnet_layers == (3, 4, 23)
+    assert cfg.base_lr == 0.001
+    assert cfg.weight_decay == 1e-4
+    assert cfg.steps == (100000,)
+    assert cfg.max_iter == 150000
+    assert cfg.ims_per_batch == 2
+    assert cfg.warmup_iters == 500
+    assert cfg.detections_per_img == 300
+    # absent keys keep the reference defaults (defaults.py:394-463)
+    assert cfg.groups == 16
+    assert cfg.ratio == 0.2
+    assert cfg.mega_window == 25
+    assert cfg.mega_key_loc == 12
+    assert cfg.global_size == 10
+    assert cfg.ref_num_local == 2 and cfg.ref_num_mem == 3
+    assert cfg.advanced_num == 15  # 75 * 0.2
+
+
+def test_our_preset_matches_reference_recipe():
+    ours = load_detector_config("configs/detector/mega_vidvrd.yaml")
+    ref = load_detector_config(REF_MEGA_YAML)
+    assert ours == ref
+
+
+def test_overrides_and_kwargs():
+    cfg = load_detector_config(REF_MEGA_YAML, base_lr=0.01,
+                               ref_post_nms_top_n=20)
+    assert cfg.base_lr == 0.01
+    assert cfg.advanced_num == 4
+    kw = mega_detector_kwargs(cfg)
+    from vrdone_tpu.models.detector import MegaDetector
+    det = MegaDetector(**kw)
+    assert det.base_num == 20 and det.stage == 3 and det.window == 25
+
+
+def test_rdn_method_from_meta_architecture(tmp_path):
+    p = tmp_path / "rdn.yaml"
+    p.write_text("MODEL:\n  META_ARCHITECTURE: GeneralizedRCNNRDN\n"
+                 "  BACKBONE:\n    CONV_BODY: R-50-C4\n")
+    cfg = load_detector_config(str(p))
+    assert cfg.method == "rdn"
+    assert cfg.resnet_layers == (3, 4, 6)
+    assert cfg == DetectorConfig(method="rdn", resnet_layers=(3, 4, 6))
+
+
+def test_detector_sgd_matches_torch_groups():
+    """3 steps of detector_sgd == torch.optim.SGD with the reference's
+    param groups (bias: lr x2, wd 0; rest: wd 1e-4), momentum 0.9."""
+    import torch
+
+    import jax.numpy as jnp
+    from vrdone_tpu.train.optim import detector_sgd
+
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(size=(4, 5)).astype(np.float32)
+    b0 = rng.normal(size=(5,)).astype(np.float32)
+    grads = [(rng.normal(size=(4, 5)).astype(np.float32),
+              rng.normal(size=(5,)).astype(np.float32)) for _ in range(3)]
+    lr, wd, mom = 0.02, 1e-4, 0.9
+
+    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    tx = detector_sgd(lambda step: lr, params, momentum=mom,
+                      weight_decay=wd, clip=0.0)
+    state = tx.init(params)
+    for gw, gb in grads:
+        g = {"dense": {"kernel": jnp.asarray(gw), "bias": jnp.asarray(gb)}}
+        updates, state = tx.update(g, state, params)
+        params = {"dense": {k: params["dense"][k] + updates["dense"][k]
+                            for k in params["dense"]}}
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.SGD(
+        [{"params": [tw], "lr": lr, "weight_decay": wd},
+         {"params": [tb], "lr": lr * 2.0, "weight_decay": 0.0}],
+        lr=lr, momentum=mom)
+    for gw, gb in grads:
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        tb.grad = torch.from_numpy(gb.copy())
+        opt.step()
+
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]),
+                               tw.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["dense"]["bias"]),
+                               tb.detach().numpy(), atol=1e-6)

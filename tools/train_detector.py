@@ -30,7 +30,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from vrdone_tpu.models.detector import MegaDetector
 from vrdone_tpu.models.detector_train import (init_train_params,
@@ -143,7 +142,27 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resnet_layers", type=str, default="3,4,23",
                    help="C2,C3,C4 block counts (3,4,23 = R-101)")
+    p.add_argument("--cfg", default=None,
+                   help="detector YAML in the reference's nested layout "
+                        "(configs/detector/*.yaml; the reference's own "
+                        "configs/MEGA/*.yaml parse too). CLI flags set "
+                        "to non-default values override it.")
     args = p.parse_args()
+
+    cfg = None
+    if args.cfg:
+        from vrdone_tpu.detector_config import load_detector_config
+        cfg = load_detector_config(args.cfg)
+        for name, v in (("lr", cfg.base_lr), ("iters", cfg.max_iter),
+                        ("base_num", cfg.ref_post_nms_top_n),
+                        ("n_local", cfg.ref_num_local),
+                        ("n_mem", cfg.ref_num_mem),
+                        ("n_glob", cfg.ref_num_global),
+                        ("batch_size", cfg.ims_per_batch),
+                        ("resnet_layers",
+                         ",".join(map(str, cfg.resnet_layers)))):
+            if getattr(args, name) == p.get_default(name):
+                setattr(args, name, v)
 
     from vrdone_tpu.data.category import get_vocab
     entity_vocab, _ = get_vocab(args.dataset)
@@ -155,10 +174,19 @@ def main():
                           os.path.join(args.exp_dir, "logfile"))
 
     layers = tuple(int(x) for x in args.resnet_layers.split(","))
-    det = MegaDetector(num_classes=num_classes, resnet_layers=layers,
-                       base_num=args.base_num,
-                       memory_enable=args.n_mem > 0,
-                       global_enable=args.n_glob > 0)
+    det_kw = dict(num_classes=num_classes, resnet_layers=layers,
+                  base_num=args.base_num,
+                  memory_enable=args.n_mem > 0,
+                  global_enable=args.n_glob > 0)
+    if cfg is not None:
+        det_kw.update(stage=cfg.stage, groups=cfg.groups,
+                      global_res_stage=cfg.global_res_stage,
+                      ratio=cfg.ratio, window=cfg.mega_window,
+                      key_loc=cfg.mega_key_loc,
+                      global_size=cfg.global_size,
+                      memory_enable=cfg.memory_enable and args.n_mem > 0,
+                      global_enable=cfg.global_enable and args.n_glob > 0)
+    det = MegaDetector(**det_kw)
     image_hw = jnp.asarray(args.canvas)
 
     rng = np.random.default_rng(args.seed)
@@ -234,12 +262,20 @@ def main():
     logger.info(f"detector params: {n_params} "
                 f"(init {time.time() - t0:.1f}s)")
 
+    from vrdone_tpu.train.optim import detector_sgd
     schedule = multistep_schedule(
-        args.lr, warmup_steps=500,
-        milestones=(int(args.iters * 2 / 3), int(args.iters * 8 / 9)),
-        gamma=0.1)
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.sgd(schedule, momentum=0.9))
+        args.lr,
+        warmup_steps=cfg.warmup_iters if cfg else 500,
+        milestones=(tuple(cfg.steps) if cfg else
+                    (int(args.iters * 2 / 3), int(args.iters * 8 / 9))),
+        gamma=cfg.gamma if cfg else 0.1,
+        warmup_start_lr=args.lr * (cfg.warmup_factor if cfg else 1 / 3))
+    tx = detector_sgd(
+        schedule, params,
+        momentum=cfg.momentum if cfg else 0.9,
+        weight_decay=cfg.weight_decay if cfg else 1e-4,
+        bias_lr_factor=cfg.bias_lr_factor if cfg else 2.0,
+        weight_decay_bias=cfg.weight_decay_bias if cfg else 0.0)
     opt_state = tx.init(params)
 
     from vrdone_tpu.models.detector_train import make_detector_train_step

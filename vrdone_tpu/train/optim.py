@@ -71,6 +71,46 @@ def decay_mask(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, mask_flat)
 
 
+def bias_mask(params) -> Any:
+    """True on bias leaves (reference solver: `"bias" in key`)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def leaf_is_bias(path):
+        last = path[-1]
+        name = getattr(last, "key", getattr(last, "name", None))
+        return isinstance(name, str) and "bias" in name
+
+    mask_flat = [leaf_is_bias(path) for path, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, mask_flat)
+
+
+def detector_sgd(schedule, params, *, momentum: float = 0.9,
+                 weight_decay: float = 1e-4, bias_lr_factor: float = 2.0,
+                 weight_decay_bias: float = 0.0,
+                 clip: float = 10.0) -> optax.GradientTransformation:
+    """The reference detector optimizer (mega_core/solver/build.py:7-20):
+    SGD with momentum where bias parameters get lr x BIAS_LR_FACTOR and
+    WEIGHT_DECAY_BIAS (default 0) while everything else decays at
+    WEIGHT_DECAY. Ordering matches torch.optim.SGD: decay is added to the
+    gradient before the momentum buffer; the per-group lr factor applies
+    after it."""
+    bmask = bias_mask(params)
+    nonbias = jax.tree.map(lambda b: not b, bmask)
+    parts = [optax.add_decayed_weights(weight_decay, mask=nonbias)]
+    if weight_decay_bias:
+        parts.append(optax.add_decayed_weights(weight_decay_bias,
+                                               mask=bmask))
+    parts.append(optax.trace(decay=momentum))
+    if bias_lr_factor != 1.0:
+        parts.append(optax.masked(optax.scale(bias_lr_factor), bmask))
+    parts.append(optax.scale_by_learning_rate(schedule))
+    tx = optax.chain(*parts)
+    if clip and clip > 0.0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
+
+
 def build_optimizer(params, training_config: dict,
                     num_iters_per_epoch: int) -> optax.GradientTransformation:
     """Reference build_optimizer + build_scheduler in one optax chain."""
