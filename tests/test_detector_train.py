@@ -210,3 +210,57 @@ def test_detector_train_step_dp_mesh():
                 for a, b in zip(jax.tree.leaves(p0),
                                 jax.tree.leaves(params2)))
     assert moved > 0
+
+
+def test_graft_backbone_and_finetune_restore(tmp_path):
+    """--backbone_pkl / --init_ckpt machinery: a converted ResNet tree
+    grafts into a fresh init; a saved checkpoint restores weights-only
+    into a new init (reference finetune_mega.py / catalog:// load)."""
+    import orbax.checkpoint as ocp
+
+    from vrdone_tpu.models.detector import MegaDetector
+
+    det = MegaDetector(num_classes=3, resnet_layers=(1, 1, 1), stage=2,
+                       groups=4, base_num=4, window=3, key_loc=1,
+                       global_size=2)
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64, 3)).astype(np.float32))
+    ref = img[None]
+    hw = jnp.asarray([64, 64])
+    params = DT.init_train_params(det, jax.random.key(0), img, ref, ref,
+                                  ref, hw, post_nms_top_n=8)
+
+    # backbone graft: same structure, recognizably different values
+    pkl = {"c4": jax.tree.map(lambda x: np.full(x.shape, 0.25, np.float64),
+                              params["params"]["backbone"]),
+           "c5": jax.tree.map(lambda x: np.full(x.shape, 0.5, np.float64),
+                              params["params"]["box_head"]["c5"])}
+    grafted = DT.graft_backbone(params, pkl)
+    leaf = jax.tree.leaves(grafted["params"]["backbone"])[0]
+    assert leaf.dtype == jnp.float32 and float(leaf.reshape(-1)[0]) == 0.25
+    assert float(jax.tree.leaves(grafted["params"]["box_head"]["c5"])[0]
+                 .reshape(-1)[0]) == 0.5
+    # everything outside backbone / box_head.c5 untouched
+    for k in ("rpn", "mega"):
+        a = jax.tree.leaves(grafted["params"][k])
+        b = jax.tree.leaves(params["params"][k])
+        assert all((np.asarray(x) == np.asarray(y)).all()
+                   for x, y in zip(a, b))
+    for k in ("cls_score", "bbox_pred"):
+        a = jax.tree.leaves(grafted["params"]["box_head"][k])
+        b = jax.tree.leaves(params["params"]["box_head"][k])
+        assert all((np.asarray(x) == np.asarray(y)).all()
+                   for x, y in zip(a, b))
+
+    # weights-only finetune restore
+    path = str(tmp_path / "det.ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": grafted["params"]}, force=True)
+    ckptr.wait_until_finished()
+    fresh = DT.init_train_params(det, jax.random.key(7), img, ref, ref,
+                                 ref, hw, post_nms_top_n=8)
+    restored = DT.load_finetune_params(fresh, path)
+    ra = jax.tree.leaves(restored["params"])
+    ga = jax.tree.leaves(grafted["params"])
+    assert all((np.asarray(x) == np.asarray(y)).all()
+               for x, y in zip(ra, ga))

@@ -147,6 +147,16 @@ def main():
                         "(configs/detector/*.yaml; the reference's own "
                         "configs/MEGA/*.yaml parse too). CLI flags set "
                         "to non-default values override it.")
+    p.add_argument("--backbone_pkl", default=None,
+                   help="converted torchvision ResNet pickle "
+                        "(tools/convert_torch_resnet.py) to seed C4/C5 — "
+                        "replaces catalog://ImageNetPretrained")
+    p.add_argument("--init_ckpt", default=None,
+                   help="detector checkpoint to finetune from "
+                        "(weights-only; reference finetune_mega.py)")
+    p.add_argument("--lr_rate", type=float, default=1.0,
+                   help="finetune lr multiplier "
+                        "(reference finetune_mega.py:93-96)")
     args = p.parse_args()
 
     cfg = None
@@ -262,6 +272,18 @@ def main():
     logger.info(f"detector params: {n_params} "
                 f"(init {time.time() - t0:.1f}s)")
 
+    if args.backbone_pkl:
+        import pickle
+        from vrdone_tpu.models.detector_train import graft_backbone
+        with open(args.backbone_pkl, "rb") as f:
+            params = graft_backbone(params, pickle.load(f))
+        logger.info(f"backbone seeded from {args.backbone_pkl}")
+    if args.init_ckpt:
+        from vrdone_tpu.models.detector_train import load_finetune_params
+        params = load_finetune_params(params, args.init_ckpt)
+        logger.info(f"finetuning from {args.init_ckpt}")
+
+    args.lr *= args.lr_rate     # finetune rescale (finetune_mega.py:93-96)
     from vrdone_tpu.train.optim import detector_sgd
     schedule = multistep_schedule(
         args.lr,

@@ -255,6 +255,40 @@ def init_train_params(det_module, rng_key, key_image: Array,
     return jax.jit(lambda k: det_module.init(k, method=fwd))(rng_key)
 
 
+def graft_backbone(params, backbone_pkl: dict):
+    """Seed the C4 backbone + C5 head from a converted torchvision
+    ResNet pickle ({"c4": ..., "c5": ...}, tools/convert_torch_resnet.py)
+    — replaces the reference's `catalog://ImageNetPretrained` load
+    (train_mega.py:66-69). Structure and shapes are verified leaf-by-leaf
+    by the tree map."""
+    def transplant(dst, src):
+        return jax.tree.map(
+            lambda a, b: jnp.asarray(b, a.dtype).reshape(a.shape),
+            dst, src)
+
+    inner = dict(params["params"])
+    inner["backbone"] = transplant(inner["backbone"], backbone_pkl["c4"])
+    box_head = dict(inner["box_head"])
+    box_head["c5"] = transplant(box_head["c5"], backbone_pkl["c5"])
+    inner["box_head"] = box_head
+    return {**params, "params": inner}
+
+
+def load_finetune_params(params, ckpt_path: str):
+    """Weights-only restore of a detector checkpoint into a freshly
+    initialized tree (reference finetune_mega.py / Checkpointer
+    `ignore` flag: weights come from the checkpoint, optimizer and
+    schedule start fresh)."""
+    import orbax.checkpoint as ocp
+
+    import os
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(ckpt_path))
+    inner = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                         params["params"], restored["params"])
+    return {**params, "params": inner}
+
+
 def make_detector_train_step(det_module, tx, *, image_hw,
                              post_nms_top_n: int = 128):
     """Jitted data-parallel detector train step over a dp mesh.
