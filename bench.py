@@ -92,7 +92,12 @@ def main():
         pass
 
     # fused train step (forward + Hungarian + losses + backward + AdamW +
-    # EMA) on a 1-chip mesh at the production VidVRD batch shape
+    # EMA) on a 1-chip mesh at the production VidVRD batch shape.
+    # fp32 only: XLA's default matmul precision already runs f32 matmuls
+    # as bf16 MXU passes, so --compute_dtype bfloat16 measured SLOWER
+    # here (29.9 vs 17.96 ms/step, 2026-08-16) — the cast traffic buys
+    # nothing at this model size. bf16 training remains an opt-in for
+    # memory-bound configs (see DEVNOTES).
     try:
         extra.append(_train_step_metric(cfg, c))
     except Exception as e:  # keep the headline alive no matter what
@@ -110,7 +115,7 @@ def main():
     }))
 
 
-def _train_step_metric(cfg, c):
+def _train_step_metric(cfg, c, tag="train_step"):
     import numpy as np
 
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
@@ -155,7 +160,7 @@ def _train_step_metric(cfg, c):
             jax.random.key(2), i))
     jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / n_iter
-    return {"metric": "train_step_so_pairs_per_sec_per_chip",
+    return {"metric": f"{tag}_so_pairs_per_sec_per_chip",
             "value": round(p / dt, 1), "unit": "pairs/s",
             "vs_baseline": round(dt * 1e3, 2),
             "note": "vs_baseline field = step latency ms"}

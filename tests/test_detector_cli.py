@@ -21,20 +21,23 @@ def test_train_detector_smoke(tmp_path):
 
     for v in range(2):
         name = f"vid{v}"
+        # vid0 landscape, vid1 portrait: exercises the aspect-ratio
+        # grouped batching (two canvas orientations)
+        h, w = (80, 120) if v == 0 else (120, 80)
         os.makedirs(os.path.join(frames_dir, name))
         trajectories = []
         for f in range(3):
-            img = rng.integers(0, 255, (80, 120, 3), np.uint8)
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
             Image.fromarray(img).save(
                 os.path.join(frames_dir, name, f"{f + 1:06d}.jpg"))
             trajectories.append([
                 {"tid": 0, "bbox": {"xmin": 10, "ymin": 10,
                                     "xmax": 60, "ymax": 50}},
-                {"tid": 1, "bbox": {"xmin": 40, "ymin": 20,
-                                    "xmax": 100, "ymax": 70}},
+                {"tid": 1, "bbox": {"xmin": 30, "ymin": 20,
+                                    "xmax": 75, "ymax": 70}},
             ])
         anno = {
-            "video_id": name, "height": 80, "width": 120, "frame_count": 3,
+            "video_id": name, "height": h, "width": w, "frame_count": 3,
             "subject/objects": [{"tid": 0, "category": "dog"},
                                 {"tid": 1, "category": "person"}],
             "trajectories": trajectories,
@@ -69,6 +72,7 @@ def test_train_detector_smoke(tmp_path):
     assert os.path.exists(os.path.join(exp, "detector_2.ckpt"))
     log = r.stdout + r.stderr
     assert "loss_rpn_cls" in log
+    assert "aspect groups: portrait=3, landscape=3" in log
 
 
 @pytest.mark.slow

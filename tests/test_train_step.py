@@ -168,3 +168,49 @@ def test_tensor_parallel_matches_dp():
         np.testing.assert_allclose(float(losses_dp[k]),
                                    float(losses_tp[k]),
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_bf16_train_step():
+    """compute_dtype=bfloat16: forward runs in bf16, losses/params stay
+    f32, loss at init tracks the f32 loss, training still converges."""
+    import dataclasses
+
+    cfg32 = tiny_cfg()
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16",
+                                droppath=0.0)
+    cfg32 = dataclasses.replace(cfg32, droppath=0.0)
+    rng = np.random.default_rng(5)
+    batch = synth_batch(rng, cfg32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    mesh = make_mesh()
+
+    training_config = dict(training_lr=2e-3, clip_grad_l2norm=1.0,
+                           weight_decay=0.05, total_epoch=20,
+                           warmup=True, warmup_epochs=1, type="AdamW",
+                           schedule_type="cosine")
+    state, _ = create_train_state(cfg32, training_config,
+                                  num_iters_per_epoch=10,
+                                  rng=jax.random.key(0),
+                                  sample_batch=batch)
+    sharded = shard_batch(mesh, batch)
+    key = jax.random.key(1)
+
+    step32 = make_jitted_train_step(cfg32, mesh)
+    step16 = make_jitted_train_step(cfg16, mesh)
+    # the step donates its input state: give each branch its own copy
+    state_b = jax.tree.map(jnp.copy, state)
+    _, l32 = step32(state, sharded, key)
+    state16, l16 = step16(state_b, sharded, key)
+    t32, t16 = float(l32["total_loss"]), float(l16["total_loss"])
+    assert np.isfinite(t16)
+    assert abs(t16 - t32) / abs(t32) < 0.05, (t16, t32)
+    # master params stay f32 after the update
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(state16.params)
+               if jnp.issubdtype(x.dtype, jnp.floating))
+
+    losses0 = t16
+    for i in range(7):
+        state16, losses = step16(state16, sharded, key)
+        assert np.isfinite(float(losses["total_loss"]))
+    assert float(losses["total_loss"]) < losses0

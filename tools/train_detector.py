@@ -60,9 +60,9 @@ def resize_and_pad(img, boxes, min_size, canvas_hw):
 
 
 def coco_index(coco_ann: str, images_dir: str):
-    """(path, boxes, category_ids) samples from a COCO-format JSON (e.g.
-    the COCO-in-VidVRD subset from tools/build_coco_subset.py) — the
-    reference pre-trains MEGA on COCO-21 + VidVRD jointly
+    """(path, boxes, category_ids, landscape) samples from a COCO-format
+    JSON (e.g. the COCO-in-VidVRD subset from tools/build_coco_subset.py)
+    — the reference pre-trains MEGA on COCO-21 + VidVRD jointly
     (datasets/mega/configs/MEGA/vidvrd_..._freq5.yaml)."""
     import json as _json
     from collections import defaultdict as _dd
@@ -80,7 +80,8 @@ def coco_index(coco_ann: str, images_dir: str):
             continue
         boxes = np.asarray([b for b, _ in anns], np.float32)
         cats = np.asarray([c for _, c in anns], np.int64)
-        out.append((os.path.join(images_dir, im["file_name"]), boxes, cats))
+        out.append((os.path.join(images_dir, im["file_name"]), boxes, cats,
+                    im.get("width", 2) >= im.get("height", 1)))
     return out
 
 
@@ -157,6 +158,13 @@ def main():
     p.add_argument("--lr_rate", type=float, default=1.0,
                    help="finetune lr multiplier "
                         "(reference finetune_mega.py:93-96)")
+    p.add_argument("--group_aspect", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="aspect-ratio grouped batching (reference "
+                        "GroupedBatchSampler / ASPECT_RATIO_GROUPING): "
+                        "each batch is all-landscape or all-portrait and "
+                        "uses a matching canvas orientation — at most two "
+                        "XLA programs, no wasted padding compute")
     args = p.parse_args()
 
     cfg = None
@@ -197,7 +205,6 @@ def main():
                       memory_enable=cfg.memory_enable and args.n_mem > 0,
                       global_enable=cfg.global_enable and args.n_glob > 0)
     det = MegaDetector(**det_kw)
-    image_hw = jnp.asarray(args.canvas)
 
     rng = np.random.default_rng(args.seed)
     if args.coco_ann:
@@ -208,12 +215,13 @@ def main():
             """COCO image mode: reference frames are copies of the key
             frame (reference vid_mega.py:65-73)."""
             from PIL import Image
-            path, boxes, cats_ids = coco_samples[i]
+            path, boxes, cats_ids, _ = coco_samples[i]
             img = np.asarray(Image.open(path).convert("RGB"),
                              np.float32)[..., ::-1]
             return img, [img] * args.n_local, [img] * args.n_mem, \
                 [img] * args.n_glob, boxes, cats_ids
         n_samples = len(coco_samples)
+        sample_landscape = [s[3] for s in coco_samples]
         logger.info(f"COCO mode: {n_samples} images")
         cats_are_ids = True
     else:
@@ -243,30 +251,56 @@ def main():
                      for j in refs["glob"]],
                     boxes, cats)
         n_samples = len(index)
+        sample_landscape = [annos[v]["width"] >= annos[v]["height"]
+                            for v, *_ in index]
         cats_are_ids = False
 
-    def pack(img, boxes, ref_imgs):
+    # aspect-ratio groups (reference GroupedBatchSampler,
+    # mega_core/data/samplers/grouped_batch_sampler.py): homogeneous
+    # batches, one canvas orientation per group
+    lo, hi = min(args.canvas), max(args.canvas)
+    canvas_of = {True: (lo, hi), False: (hi, lo)}   # landscape / portrait
+    if args.group_aspect:
+        groups = {g: [i for i in range(n_samples)
+                      if sample_landscape[i] == g]
+                  for g in (True, False)}
+        groups = {g: ix for g, ix in groups.items() if ix}
+    else:
+        canvas_of = {True: tuple(args.canvas), False: tuple(args.canvas)}
+        groups = {True: list(range(n_samples))}
+    group_keys = sorted(groups)
+    group_weights = np.asarray([len(groups[g]) for g in group_keys],
+                               np.float64)
+    group_weights /= group_weights.sum()
+    logger.info("aspect groups: " + ", ".join(
+        f"{'landscape' if g else 'portrait'}={len(groups[g])}"
+        for g in group_keys))
+
+    def pack(img, boxes, ref_imgs, canvas_hw):
         canvas, boxes_r, _ = resize_and_pad(img, boxes, args.min_size,
-                                            args.canvas)
+                                            canvas_hw)
         packed = []
         for group in ref_imgs:
             cs = [resize_and_pad(r, np.zeros((0, 4), np.float32),
-                                 args.min_size, args.canvas)[0]
+                                 args.min_size, canvas_hw)[0]
                   for r in group]
             packed.append(np.stack(cs) if cs else
-                          np.zeros((0, *args.canvas, 3), np.float32))
+                          np.zeros((0, *canvas_hw, 3), np.float32))
         return canvas, boxes_r, packed
 
-    img0, loc0, mem0, glob0, boxes0, _ = load_sample(0)
+    g0 = group_keys[0]
+    img0, loc0, mem0, glob0, boxes0, _ = load_sample(groups[g0][0])
     canvas0, _, (locc0, memc0, globc0) = pack(img0, boxes0,
-                                              [loc0, mem0, glob0])
+                                              [loc0, mem0, glob0],
+                                              canvas_of[g0])
 
     t0 = time.time()
     params = init_train_params(
         det, jax.random.key(args.seed), jnp.asarray(canvas0),
         jnp.asarray(locc0),
         jnp.asarray(memc0) if args.n_mem else None,
-        jnp.asarray(globc0) if args.n_glob else None, image_hw,
+        jnp.asarray(globc0) if args.n_glob else None,
+        jnp.asarray(canvas_of[g0]),
         post_nms_top_n=args.post_nms_top_n)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     logger.info(f"detector params: {n_params} "
@@ -302,25 +336,27 @@ def main():
 
     from vrdone_tpu.models.detector_train import make_detector_train_step
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
-    step = make_detector_train_step(det, tx, image_hw=tuple(args.canvas),
-                                    post_nms_top_n=args.post_nms_top_n)
+    steps = {gk: make_detector_train_step(
+        det, tx, image_hw=canvas_of[gk],
+        post_nms_top_n=args.post_nms_top_n) for gk in group_keys}
     n_dev = len(jax.devices())
     n_dp = n_dev if args.batch_size % n_dev == 0 else 1
     mesh = make_mesh(n_dp=n_dp)
     logger.info(f"batch {args.batch_size} over dp={n_dp} mesh")
 
-    def make_batch():
+    def make_batch(gk):
         bs = args.batch_size
         g = args.max_gt
+        members = groups[gk]
         batch = {"key": [], "local": [], "mem": [], "glob": [],
                  "gt_boxes": np.zeros((bs, g, 4), np.float32),
                  "gt_labels": np.zeros((bs, g), np.int32),
                  "gt_valid": np.zeros((bs, g), bool)}
         for i in range(bs):
             img, loc_i, mem_i, glob_i, boxes, cats = load_sample(
-                int(rng.integers(0, n_samples)))
+                members[int(rng.integers(0, len(members)))])
             canvas, boxes_r, (locc, memc, globc) = pack(
-                img, boxes, [loc_i, mem_i, glob_i])
+                img, boxes, [loc_i, mem_i, glob_i], canvas_of[gk])
             batch["key"].append(canvas)
             batch["local"].append(locc)
             batch["mem"].append(memc)
@@ -341,14 +377,15 @@ def main():
     t0 = time.time()
     t_data = time.time()
     for it in range(args.iters):
-        batch = make_batch()
+        gk = group_keys[int(rng.choice(len(group_keys), p=group_weights))]
+        batch = make_batch(gk)
         data_time = time.time() - t_data
 
         with mesh:
             sharded = shard_batch(mesh, {k: jnp.asarray(v)
                                          for k, v in batch.items()})
-            params, opt_state, losses = step(params, opt_state, sharded,
-                                             jax.random.fold_in(key, it))
+            params, opt_state, losses = steps[gk](
+                params, opt_state, sharded, jax.random.fold_in(key, it))
 
         meters.update(data_time=data_time,
                       batch_time=time.time() - t_data,

@@ -77,11 +77,25 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     """One optimization step. batch: see models/maskvrd.py contract."""
     model = MaskVRD(cfg)
     step_rng = jax.random.fold_in(rng, state.step)
+    bf16 = cfg.compute_dtype == "bfloat16"
 
     def forward(params, feats, seq_mask):
-        return model.apply(
+        if bf16:
+            # mixed precision: master params stay f32 (the optimizer and
+            # EMA never see bf16); the network body computes in bf16 on
+            # the MXU. LN stats / softmax stay f32 inside the model, and
+            # predictions are cast back so matching + losses run in f32.
+            from ..utils.precision import cast_floating
+            params = cast_floating(params)
+            feats = feats.astype(jnp.bfloat16)
+        preds = model.apply(
             {"params": params}, feats, seq_mask, deterministic=False,
             rngs={"droppath": step_rng, "dropout": step_rng})
+        if bf16:
+            preds = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.bfloat16 else x, preds)
+        return preds
 
     if cfg.remat:
         # trade FLOPs for HBM: recompute the forward during the backward
