@@ -65,7 +65,14 @@ def ref_big():
     repo's / the VrdONE reference's own top-level `utils` package."""
     saved = {k: sys.modules.pop(k) for k in list(sys.modules)
              if k.split(".")[0] in ("utils", "dataloaders")}
-    sys.path.insert(0, BIG_PATH)
+    # pin the `utils` / `dataloaders` parent packages to BIG's directories
+    # (BIG ships them without __init__.py, so the VrdONE reference's
+    # regular `dataloaders` package would otherwise always shadow them
+    # once other parity tests have put /root/reference on sys.path)
+    for name, sub in (("utils", "utils"), ("dataloaders", "dataloaders")):
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [f"{BIG_PATH}/{sub}"]
+        sys.modules[name] = pkg
     if "torchvision" not in sys.modules:
         # utils_func imports torchvision.ops at module scope; the graph
         # code path never touches it (same stub as oracle.py:312-323)
@@ -87,7 +94,6 @@ def ref_big():
         import dataloaders.dataloader_vidvrd as mod
         yield mod
     finally:
-        sys.path.remove(BIG_PATH)
         for k in list(sys.modules):
             if k.split(".")[0] in ("utils", "dataloaders"):
                 sys.modules.pop(k)
