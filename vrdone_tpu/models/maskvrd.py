@@ -181,14 +181,26 @@ def compute_losses(cfg: ModelConfig, predictions: dict, gt: dict) -> dict:
         jnp.sum(gt["gt_valid"] & gt["item_valid"][:, None]), 1
     ).astype(jnp.float32)
 
-    loss_dict = _single_level_losses(
-        cfg, predictions["pred_logits"], predictions["pred_masks"], gt,
-        num_masks)
-
-    for i, aux in enumerate(predictions.get("aux_outputs", []) or []):
-        aux_losses = _single_level_losses(
-            cfg, aux["pred_logits"], aux["pred_masks"], gt, num_masks)
-        loss_dict.update({f"{k}_{i}": v for k, v in aux_losses.items()})
+    aux = predictions.get("aux_outputs", []) or []
+    if not aux:
+        loss_dict = _single_level_losses(
+            cfg, predictions["pred_logits"], predictions["pred_masks"],
+            gt, num_masks)
+    else:
+        # deep supervision: vmap the match + losses over the level axis —
+        # one batched Hungarian over (levels x batch) problems instead of
+        # L sequential while-loop chains (the matcher is latency-bound on
+        # TPU, so merging the levels cuts step latency; values are
+        # unchanged — each level still reduces independently)
+        pl = jnp.stack([predictions["pred_logits"],
+                        *[a["pred_logits"] for a in aux]])
+        pm = jnp.stack([predictions["pred_masks"],
+                        *[a["pred_masks"] for a in aux]])
+        per = jax.vmap(lambda l, m: _single_level_losses(
+            cfg, l, m, gt, num_masks))(pl, pm)
+        loss_dict = {k: v[0] for k, v in per.items()}
+        for i in range(len(aux)):
+            loss_dict.update({f"{k}_{i}": per[k][i + 1] for k in per})
 
     loss_dict["total_loss"] = sum(loss_dict.values())
     return loss_dict
