@@ -158,6 +158,11 @@ def main():
     p.add_argument("--lr_rate", type=float, default=1.0,
                    help="finetune lr multiplier "
                         "(reference finetune_mega.py:93-96)")
+    p.add_argument("--hflip_prob", type=float, default=0.5,
+                   help="train-time random horizontal flip (reference "
+                        "INPUT.HORIZONTAL_FLIP_PROB_TRAIN, transforms/"
+                        "build.py:9,41); flips the key and all reference "
+                        "frames of a sample together")
     p.add_argument("--group_aspect", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="aspect-ratio grouped batching (reference "
@@ -355,6 +360,14 @@ def main():
         for i in range(bs):
             img, loc_i, mem_i, glob_i, boxes, cats = load_sample(
                 members[int(rng.integers(0, len(members)))])
+            if rng.random() < args.hflip_prob:
+                from vrdone_tpu.models.detector import hflip_boxes
+                w_img = img.shape[1]
+                boxes = hflip_boxes(np.asarray(boxes, np.float32), w_img)
+                img = img[:, ::-1]
+                loc_i = [r[:, ::-1] for r in loc_i]
+                mem_i = [r[:, ::-1] for r in mem_i]
+                glob_i = [r[:, ::-1] for r in glob_i]
             canvas, boxes_r, (locc, memc, globc) = pack(
                 img, boxes, [loc_i, mem_i, glob_i], canvas_of[gk])
             batch["key"].append(canvas)
