@@ -161,10 +161,22 @@ def _train_step_metric(cfg, c, tag="train_step"):
             jax.random.key(2), i))
     jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / n_iter
-    return {"metric": f"{tag}_so_pairs_per_sec_per_chip",
-            "value": round(p / dt, 1), "unit": "pairs/s",
-            "vs_baseline": round(dt * 1e3, 2),
-            "note": "vs_baseline field = step latency ms"}
+    rec = {"metric": f"{tag}_so_pairs_per_sec_per_chip",
+           "value": round(p / dt, 1), "unit": "pairs/s",
+           "vs_baseline": round(dt * 1e3, 2),
+           "note": "vs_baseline field = step latency ms"}
+    try:
+        cost = step_fn.lower(state, sharded,
+                             jax.random.key(3)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            rec["mfu_vs_v5e_bf16_peak"] = round(
+                flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+    except Exception:
+        pass
+    return rec
 
 
 if __name__ == "__main__":

@@ -20,7 +20,6 @@ from vrdone_tpu.data.datasets import VidORDataset, VidVRDDataset
 from vrdone_tpu.eval.convert import build_groundtruth, to_eval_format
 from vrdone_tpu.eval.decode import InferenceRunner, infer_video
 from vrdone_tpu.eval.metrics import relation_metrics
-from vrdone_tpu.models.maskvrd import MaskVRD
 from vrdone_tpu.train.checkpoint import restore_params_for_eval
 from vrdone_tpu.utils.logging import setup_logger
 

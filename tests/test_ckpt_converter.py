@@ -6,7 +6,6 @@ import pytest
 
 import jax
 
-from tests import oracle
 from tests.test_model_parity import make_models, small_cfg
 from tools.convert_reference_checkpoint import convert_state_dict
 

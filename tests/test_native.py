@@ -1,14 +1,13 @@
 """Native C++ tracklet ops vs the numpy reference implementations."""
 
 import subprocess
-import sys
+
 
 import numpy as np
 import pytest
 
 from vrdone_tpu.data import native
 from vrdone_tpu.data.datasets import viou_dedup_tracklets
-from vrdone_tpu.data import batching
 
 
 def build_native():

@@ -17,7 +17,6 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import json
-from collections import defaultdict
 
 from vrdone_tpu.data.category import VIDVRD_ENTITIES, \
     vidvrd_category_name_to_id
