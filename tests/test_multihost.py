@@ -99,3 +99,17 @@ def test_two_process_distributed_init(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
         assert "OK" in out
+
+
+def test_comm_single_process_degenerates():
+    """With one process the comm helpers return the local-only result on
+    the same code path a pod slice uses."""
+    from vrdone_tpu.parallel.comm import (accumulate_predictions,
+                                          all_gather_objects, reduce_dict)
+
+    assert all_gather_objects({"a": 1}) == [{"a": 1}]
+    assert reduce_dict({"l": 3}) == {"l": 3.0}
+    assert accumulate_predictions({0: "x", 1: "y"}) == {0: "x", 1: "y"}
+    # non-contiguous ids only warn, never drop
+    merged = accumulate_predictions({0: "x", 5: "y"})
+    assert merged == {0: "x", 5: "y"}
