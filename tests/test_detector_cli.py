@@ -159,13 +159,34 @@ def test_extract_gt_features_smoke(tmp_path):
 
 @pytest.mark.slow
 def test_train_detector_coco_mode(tmp_path):
-    """COCO-format image pre-training mode (2 iterations)."""
+    """COCO-image pre-training concatenated with a video source (the
+    reference's DATASETS.TRAIN tuple, e.g. COCO21 + VidVRDtrain_freq5),
+    2 iterations."""
     from PIL import Image
     import json as js
     rng = np.random.default_rng(3)
     root = str(tmp_path)
     images_dir = os.path.join(root, "images")
     os.makedirs(images_dir)
+
+    # one tiny video source for the concat path
+    anno_dir = os.path.join(root, "annotations")
+    frames_dir = os.path.join(root, "frames", "vidJ")
+    os.makedirs(anno_dir)
+    os.makedirs(frames_dir)
+    trajectories = []
+    for f in range(2):
+        Image.fromarray(rng.integers(0, 255, (70, 100, 3),
+                                     np.uint8)).save(
+            os.path.join(frames_dir, f"{f + 1:06d}.jpg"))
+        trajectories.append([{"tid": 0, "bbox": {"xmin": 5, "ymin": 5,
+                                                 "xmax": 45, "ymax": 35}}])
+    with open(os.path.join(anno_dir, "vidJ.json"), "w") as f:
+        js.dump({"video_id": "vidJ", "height": 70, "width": 100,
+                 "frame_count": 2,
+                 "subject/objects": [{"tid": 0, "category": "dog"}],
+                 "trajectories": trajectories,
+                 "relation_instances": []}, f)
     images, annotations = [], []
     for i in range(3):
         fname = f"im{i}.jpg"
@@ -189,6 +210,8 @@ def test_train_detector_coco_mode(tmp_path):
     r = subprocess.run(
         [sys.executable, "tools/train_detector.py",
          "--coco_ann", ann_path, "--images_dir", images_dir,
+         "--anno_dir", anno_dir,
+         "--frames_dir", os.path.join(root, "frames"),
          "--exp_dir", exp, "--dataset", "vidvrd",
          "--iters", "2", "--resnet_layers", "1,1,1",
          "--min_size", "64", "--canvas", "64", "96",
@@ -199,3 +222,6 @@ def test_train_detector_coco_mode(tmp_path):
         timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(exp, "detector_2.ckpt"))
+    log = r.stdout + r.stderr
+    assert "COCO source: 3 images" in log
+    assert "video source: 1 videos, 2 frames" in log

@@ -158,6 +158,9 @@ def main():
     p.add_argument("--lr_rate", type=float, default=1.0,
                    help="finetune lr multiplier "
                         "(reference finetune_mega.py:93-96)")
+    p.add_argument("--frame_stride", type=int, default=1,
+                   help="sample every Nth annotated frame (reference "
+                        "VidVRDtrain_freq5 image-index lists use 5)")
     p.add_argument("--hflip_prob", type=float, default=0.5,
                    help="train-time random horizontal flip (reference "
                         "INPUT.HORIZONTAL_FLIP_PROB_TRAIN, transforms/"
@@ -212,53 +215,65 @@ def main():
     det = MegaDetector(**det_kw)
 
     rng = np.random.default_rng(args.seed)
+    assert args.coco_ann or args.anno_dir, \
+        "need --coco_ann and/or --anno_dir"
+
+    # datasets concatenate (reference DATASETS.TRAIN tuples, e.g.
+    # ("COCO_train_21classes", "COCO_val_21classes", "VidVRDtrain_freq5"),
+    # mega_core/data/build.py:18-60): any mix of COCO-image and
+    # video-annotation sources forms one sample pool
+    coco_samples, index, annos = [], [], {}
     if args.coco_ann:
         assert args.images_dir, "--images_dir required with --coco_ann"
         coco_samples = coco_index(args.coco_ann, args.images_dir)
-
-        def load_sample(i):
-            """COCO image mode: reference frames are copies of the key
-            frame (reference vid_mega.py:65-73)."""
-            from PIL import Image
-            path, boxes, cats_ids, _ = coco_samples[i]
-            img = np.asarray(Image.open(path).convert("RGB"),
-                             np.float32)[..., ::-1]
-            return img, [img] * args.n_local, [img] * args.n_mem, \
-                [img] * args.n_glob, boxes, cats_ids
-        n_samples = len(coco_samples)
-        sample_landscape = [s[3] for s in coco_samples]
-        logger.info(f"COCO mode: {n_samples} images")
-        cats_are_ids = True
-    else:
-        assert args.anno_dir and args.frames_dir
+        logger.info(f"COCO source: {len(coco_samples)} images")
+    if args.anno_dir:
+        assert args.frames_dir
         videos = sorted(v[:-5] for v in os.listdir(args.anno_dir)
                         if v.endswith(".json"))
-        annos = {}
         for v in videos:
             with open(os.path.join(args.anno_dir, v + ".json")) as f:
                 annos[v] = json.load(f)
-        index = [(v, *s) for v in videos for s in sample_frames(annos[v])]
-        logger.info(f"{len(videos)} videos, {len(index)} annotated frames")
+        index = [(v, *s) for v in videos
+                 for s in sample_frames(annos[v])[::args.frame_stride]]
+        logger.info(f"video source: {len(videos)} videos, {len(index)} "
+                    f"frames (stride {args.frame_stride})")
 
-        def load_sample(i):
-            v, fid, boxes, cats = index[i]
-            seg_len = len(annos[v]["trajectories"])
-            refs = sample_ref_indices(rng, fid, seg_len,
-                                      n_local=args.n_local,
-                                      n_mem=args.n_mem,
-                                      n_glob=args.n_glob)
-            return (load_frame(args.frames_dir, v, fid),
-                    [load_frame(args.frames_dir, v, int(j))
-                     for j in refs["local"]],
-                    [load_frame(args.frames_dir, v, int(j))
-                     for j in refs["mem"]],
-                    [load_frame(args.frames_dir, v, int(j))
-                     for j in refs["glob"]],
-                    boxes, cats)
-        n_samples = len(index)
-        sample_landscape = [annos[v]["width"] >= annos[v]["height"]
-                            for v, *_ in index]
-        cats_are_ids = False
+    def load_coco(i):
+        """COCO image mode: reference frames are copies of the key frame
+        (reference vid_mega.py:65-73)."""
+        from PIL import Image
+        path, boxes, cats_ids, _ = coco_samples[i]
+        img = np.asarray(Image.open(path).convert("RGB"),
+                         np.float32)[..., ::-1]
+        return img, [img] * args.n_local, [img] * args.n_mem, \
+            [img] * args.n_glob, boxes, np.asarray(cats_ids, np.int32)
+
+    def load_video(i):
+        v, fid, boxes, cats = index[i]
+        seg_len = len(annos[v]["trajectories"])
+        refs = sample_ref_indices(rng, fid, seg_len,
+                                  n_local=args.n_local,
+                                  n_mem=args.n_mem,
+                                  n_glob=args.n_glob)
+        return (load_frame(args.frames_dir, v, fid),
+                [load_frame(args.frames_dir, v, int(j))
+                 for j in refs["local"]],
+                [load_frame(args.frames_dir, v, int(j))
+                 for j in refs["mem"]],
+                [load_frame(args.frames_dir, v, int(j))
+                 for j in refs["glob"]],
+                boxes,
+                np.asarray([name_to_id[c] for c in cats], np.int32))
+
+    def load_sample(i):
+        if i < len(coco_samples):
+            return load_coco(i)
+        return load_video(i - len(coco_samples))
+
+    n_samples = len(coco_samples) + len(index)
+    sample_landscape = [s[3] for s in coco_samples] + \
+        [annos[v]["width"] >= annos[v]["height"] for v, *_ in index]
 
     # aspect-ratio groups (reference GroupedBatchSampler,
     # mega_core/data/samplers/grouped_batch_sampler.py): homogeneous
@@ -376,9 +391,7 @@ def main():
             batch["glob"].append(globc)
             n = min(len(boxes_r), g)
             batch["gt_boxes"][i, :n] = boxes_r[:n]
-            batch["gt_labels"][i, :n] = (
-                np.asarray(cats[:n], np.int32) if cats_are_ids
-                else [name_to_id[c] for c in cats[:n]])
+            batch["gt_labels"][i, :n] = cats[:n]
             batch["gt_valid"][i, :n] = True
         for k in ("key", "local", "mem", "glob"):
             batch[k] = np.stack(batch[k])
