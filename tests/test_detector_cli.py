@@ -74,6 +74,24 @@ def test_train_detector_smoke(tmp_path):
     assert "loss_rpn_cls" in log
     assert "aspect groups: portrait=3, landscape=3" in log
 
+    # resume: optimizer state + iteration restored, runs 2 more iters
+    r2 = subprocess.run(
+        [sys.executable, "tools/train_detector.py",
+         "--anno_dir", anno_dir, "--frames_dir", frames_dir,
+         "--exp_dir", exp, "--dataset", "vidvrd", "--resume",
+         "--cfg", cfg_path,
+         "--iters", "4", "--resnet_layers", "1,1,1",
+         "--min_size", "64", "--canvas", "64", "96",
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "4",
+         "--n_local", "1", "--n_mem", "1", "--n_glob", "1",
+         "--base_num", "4", "--post_nms_top_n", "8"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    log2 = r2.stdout + r2.stderr
+    assert "resumed from" in log2 and "at iteration 2" in log2
+    assert os.path.exists(os.path.join(exp, "detector_4.ckpt"))
+
 
 @pytest.mark.slow
 def test_detect_and_track_smoke(tmp_path):

@@ -155,6 +155,11 @@ def main():
     p.add_argument("--init_ckpt", default=None,
                    help="detector checkpoint to finetune from "
                         "(weights-only; reference finetune_mega.py)")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="continue from the newest detector_*.ckpt in "
+                        "--exp_dir, restoring optimizer state and "
+                        "iteration (reference Checkpointer "
+                        "last_checkpoint behavior)")
     p.add_argument("--lr_rate", type=float, default=1.0,
                    help="finetune lr multiplier "
                         "(reference finetune_mega.py:93-96)")
@@ -397,12 +402,31 @@ def main():
             batch[k] = np.stack(batch[k])
         return batch
 
+    start_it = 0
+    if args.resume:
+        import glob as _glob
+        import orbax.checkpoint as ocp
+        ckpts = sorted(
+            _glob.glob(os.path.join(args.exp_dir, "detector_*.ckpt")),
+            key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+        if ckpts:
+            path = os.path.abspath(ckpts[-1])
+            template = {"params": params["params"], "opt_state": opt_state,
+                        "it": np.zeros((), np.int64)}
+            restored = ocp.StandardCheckpointer().restore(path, template)
+            params = {**params, "params": restored["params"]}
+            opt_state = restored["opt_state"]
+            start_it = int(restored["it"])
+            logger.info(f"resumed from {path} at iteration {start_it}")
+        else:
+            logger.info("--resume: no checkpoint found, starting fresh")
+
     from vrdone_tpu.utils.metric_logger import MetricLogger
     meters = MetricLogger()
     key = jax.random.key(args.seed)
     t0 = time.time()
     t_data = time.time()
-    for it in range(args.iters):
+    for it in range(start_it, args.iters):
         gk = group_keys[int(rng.choice(len(group_keys), p=group_weights))]
         batch = make_batch(gk)
         data_time = time.time() - t_data
@@ -426,7 +450,10 @@ def main():
             path = os.path.abspath(
                 os.path.join(args.exp_dir, f"detector_{it + 1}.ckpt"))
             ckptr = ocp.StandardCheckpointer()
-            ckptr.save(path, {"params": params["params"]}, force=True)
+            ckptr.save(path, {"params": params["params"],
+                              "opt_state": opt_state,
+                              "it": np.asarray(it + 1, np.int64)},
+                       force=True)
             ckptr.wait_until_finished()
             logger.info(f"saved {path}")
         if (args.eval_interval and (it + 1) % args.eval_interval == 0
