@@ -185,10 +185,17 @@ def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
             c4 = m.features(image[None])[0]
             kb, ks, kv = m.propose(c4, image_hw,
                                    post_nms_top_n=key_post_nms)
-            rb, rs, rv = m.propose(c4, image_hw,
-                                   post_nms_top_n=det.base_num)
             key_fc0 = m.frame_fc0(c4, kb, kv)
-            ref_fc0 = m.frame_fc0(c4, rb, rv)
+            if key_post_nms >= det.base_num:
+                # greedy NMS keeps are score-sorted and prefix-stable in
+                # max_out, so the ref set (top base_num) is exactly the
+                # key set's prefix — skip the duplicate RPN/NMS/RoI pass
+                rb, rv = kb[:det.base_num], kv[:det.base_num]
+                ref_fc0 = key_fc0[:det.base_num]
+            else:
+                rb, _, rv = m.propose(c4, image_hw,
+                                      post_nms_top_n=det.base_num)
+                ref_fc0 = m.frame_fc0(c4, rb, rv)
             return kb, kv, ks, key_fc0, rb, rv, ref_fc0
         return det.apply(params, method=fwd)
 

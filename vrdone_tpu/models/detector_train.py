@@ -163,7 +163,8 @@ def mega_detector_losses(det_module, params, key_image: Array,
     """
     fwd = make_train_forward(det_module, key_image, local_images,
                              mem_images, glob_images, image_hw,
-                             post_nms_top_n=post_nms_top_n)
+                             post_nms_top_n=post_nms_top_n,
+                             gt_boxes=gt_boxes, gt_valid=gt_valid)
     (anchors, obj, dl, proposals, pvalid, cls_logits,
      bbox_deltas) = det_module.apply(params, method=fwd)
 
@@ -178,9 +179,14 @@ def mega_detector_losses(det_module, params, key_image: Array,
 
 def make_train_forward(det_module, key_image: Array, local_images: Array,
                        mem_images: Array | None, glob_images: Array | None,
-                       image_hw: Array, *, post_nms_top_n: int = 128):
+                       image_hw: Array, *, post_nms_top_n: int = 128,
+                       gt_boxes: Array | None = None,
+                       gt_valid: Array | None = None):
     """The training forward as a bound-module closure — shared between
-    mega_detector_losses (apply) and parameter init."""
+    mega_detector_losses (apply, with gt appended to the key proposal
+    set like the reference rpn's add_gt_proposals,
+    mega_core/modeling/rpn/inference.py:149-151) and parameter init
+    (without gt — all parameters are shape-independent)."""
     from .mega import BoxSet, flatten_set
 
     n_l = local_images.shape[0]
@@ -206,6 +212,11 @@ def make_train_forward(det_module, key_image: Array, local_images: Array,
             anchors, jax.lax.stop_gradient(obj),
             jax.lax.stop_gradient(dl), image_hw,
             pre_nms_top_n=2000, post_nms_top_n=post_nms_top_n)
+        if gt_boxes is not None:
+            # add_gt_proposals: guarantees positives for the box head
+            # even when the RPN is still weak (train only)
+            key_boxes = jnp.concatenate([key_boxes, gt_boxes], axis=0)
+            key_valid = jnp.concatenate([key_valid, gt_valid], axis=0)
 
         def ref_set(c4):
             """REF-version proposals + fc0-level features for one frame
@@ -262,9 +273,15 @@ def graft_backbone(params, backbone_pkl: dict):
     (train_mega.py:66-69). Structure and shapes are verified leaf-by-leaf
     by the tree map."""
     def transplant(dst, src):
-        return jax.tree.map(
-            lambda a, b: jnp.asarray(b, a.dtype).reshape(a.shape),
-            dst, src)
+        def leaf(a, b):
+            b = np.asarray(b)
+            if a.shape != b.shape:
+                raise ValueError(
+                    f"backbone graft shape mismatch: {a.shape} vs "
+                    f"{b.shape} (is the pickle in torch (O,I,H,W) "
+                    "layout? run tools/convert_torch_resnet.py)")
+            return jnp.asarray(b, a.dtype)
+        return jax.tree.map(leaf, dst, src)
 
     inner = dict(params["params"])
     inner["backbone"] = transplant(inner["backbone"], backbone_pkl["c4"])

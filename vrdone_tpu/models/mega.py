@@ -481,10 +481,14 @@ def stream_video(head: MEGAHead, params, *, key_feat: Array,
             glob = flatten_set(BoxSet(ref_feat[gi], ref_rois[gi],
                                       ref_valid[gi]))
         # memory read BEFORE this step's push (reference :932-937 binds
-        # `memory` before update_memory)
-        mem = [flatten_set(BoxSet(st.mem_feat[i], st.mem_rois[i],
-                                  st.mem_valid[i]))
-               for i in range(head.stage)]
+        # `memory` before update_memory); disabled entirely when the
+        # head's MEMORY.ENABLE knob is off (reference gates update_memory
+        # and the mem concat on self.memory_enable)
+        mem = None
+        if head.memory_enable:
+            mem = [flatten_set(BoxSet(st.mem_feat[i], st.mem_rois[i],
+                                      st.mem_valid[i]))
+                   for i in range(head.stage)]
 
         out, pushes = head.apply(
             params, key_feat[t], key_rois[t], key_valid[t], win, mem,

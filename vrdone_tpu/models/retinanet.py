@@ -303,7 +303,6 @@ def detect_image(model: RetinaNet, params, image: Array, image_hw,
     # per-level top pre_nms_top_n candidate anchors by best-class score
     scores = jax.nn.sigmoid(logits)
     best = jnp.max(scores, axis=-1)
-    counts = []
     off = 0
     keep_idx = []
     hh, ww = int(image.shape[0]), int(image.shape[1])
@@ -313,7 +312,6 @@ def detect_image(model: RetinaNet, params, image: Array, image_hw,
         kl = min(pre_nms_top_n, na)
         _, idx = jax.lax.top_k(best[off:off + na], kl)
         keep_idx.append(idx + off)
-        counts.append(kl)
         off += na
     cand = jnp.concatenate(keep_idx)
     cand_scores = scores[cand]                    # (C, K)

@@ -226,17 +226,57 @@ def band_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
 PALLAS_BAND_MIN_T = 768
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _band_pallas_pe(q, k, v, kv_mask, rel_pe, n_head, window_size):
+    """Pallas forward with rel-PE; backward falls back to autodiff
+    through the dense formulation (the kernel's custom VJP covers only
+    the no-PE path). Same values either way, so the pairing is exact up
+    to float noise; training with rel-PE at long T pays the dense
+    backward cost instead of crashing on a non-differentiable
+    pallas_call."""
+    from .pallas.band_attention import band_attention_pallas
+    return band_attention_pallas(q, k, v, kv_mask, n_head=n_head,
+                                 window_size=window_size, rel_pe=rel_pe)
+
+
+def _band_pallas_pe_fwd(q, k, v, kv_mask, rel_pe, n_head, window_size):
+    out = _band_pallas_pe(q, k, v, kv_mask, rel_pe, n_head, window_size)
+    return out, (q, k, v, kv_mask, rel_pe)
+
+
+def _band_pallas_pe_bwd(n_head, window_size, res, g):
+    q, k, v, kv_mask, rel_pe = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, pe_: band_attention(
+            q_, k_, v_, kv_mask, n_head=n_head, window_size=window_size,
+            rel_pe=pe_), q, k, v, rel_pe)
+    dq, dk, dv, dpe = vjp(g)
+    dmask = np.zeros(kv_mask.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask, dpe
+
+
+_band_pallas_pe.defvjp(_band_pallas_pe_fwd, _band_pallas_pe_bwd)
+
+
 def band_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
                         n_head: int, window_size: int,
                         rel_pe: Array | None = None) -> Array:
     """band_attention with automatic kernel selection: the O(T * 3B) Pallas
     kernel on TPU for long sequences (with or without rel-PE), the dense
-    formulation otherwise."""
+    formulation otherwise. Both long-T paths are differentiable: the
+    no-PE kernel has a flash custom VJP; the rel-PE kernel pairs its
+    forward with the dense backward."""
     t = q.shape[1]
     if t >= PALLAS_BAND_MIN_T and jax.default_backend() == "tpu":
+        if rel_pe is not None:
+            return _band_pallas_pe(q, k, v, kv_mask, rel_pe, n_head,
+                                   window_size)
         from .pallas.band_attention import band_attention_pallas
         return band_attention_pallas(q, k, v, kv_mask, n_head=n_head,
-                                     window_size=window_size, rel_pe=rel_pe)
+                                     window_size=window_size)
     return band_attention(q, k, v, kv_mask, n_head=n_head,
                           window_size=window_size, rel_pe=rel_pe)
 
