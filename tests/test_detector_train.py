@@ -264,3 +264,32 @@ def test_graft_backbone_and_finetune_restore(tmp_path):
     ga = jax.tree.leaves(grafted["params"])
     assert all((np.asarray(x) == np.asarray(y)).all()
                for x, y in zip(ra, ga))
+
+
+def test_gt_proposals_guarantee_positives():
+    """add_gt_proposals semantics (reference rpn/inference.py:149-151):
+    with a random (untrained) RPN, the box head still sees positives
+    because the GT boxes join the key proposal set -> nonzero reg loss
+    signal is available from step 0."""
+    from vrdone_tpu.models.detector import MegaDetector
+
+    det = MegaDetector(num_classes=5, resnet_layers=(1, 1, 1), stage=2,
+                       groups=4, base_num=4, window=3, key_loc=1,
+                       global_size=2)
+    rng = np.random.default_rng(21)
+    img = jnp.asarray(rng.uniform(0, 255, (96, 96, 3)).astype(np.float32))
+    ref = img[None]
+    hw = jnp.asarray([96, 96])
+    gtb = jnp.asarray([[10, 12, 60, 55], [0, 0, 0, 0]], jnp.float32)
+    gtl = jnp.asarray([2, 0])
+    gtv = jnp.asarray([True, False])
+
+    params = DT.init_train_params(det, jax.random.key(3), img, ref, ref,
+                                  ref, hw, post_nms_top_n=8)
+    losses = DT.mega_detector_losses(
+        det, params, img, ref, ref, ref, hw, gtb, gtl, gtv,
+        jax.random.key(4), post_nms_top_n=8)
+    # a perfect-IoU proposal (the GT itself) is always present, so the
+    # matcher labels at least one positive and the reg loss is live
+    assert float(losses["loss_box_reg"]) > 0
+    assert np.isfinite(float(losses["total_loss"]))
