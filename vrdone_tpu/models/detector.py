@@ -175,12 +175,18 @@ def make_mega_head(det: MegaDetector, name: str | None = None) -> MEGAHead:
 # Whole-video drivers (host-level orchestration of jitted phases)
 # ---------------------------------------------------------------------------
 
-def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _precompute_jit(det: MegaDetector, key_post_nms: int):
     """Jitted per-frame precompute: c4 -> key + ref proposals -> fc0-level
-    features. Returns a function mapping one image to the per-frame sets."""
+    features. Cached by (det config, key_post_nms) with params as an
+    argument, so repeated detect_video calls — the per-video serving
+    loop — reuse one compiled program instead of re-tracing."""
 
     @jax.jit
-    def run(image, image_hw):
+    def run(params, image, image_hw):
         def fwd(m):
             c4 = m.features(image[None])[0]
             kb, ks, kv = m.propose(c4, image_hw,
@@ -202,6 +208,21 @@ def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
     return run
 
 
+def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
+    """Back-compat shim binding params into the cached jit."""
+    run = _precompute_jit(det, key_post_nms)
+    return lambda image, image_hw: run(params, image, image_hw)
+
+
+@functools.lru_cache(maxsize=None)
+def _predict_jit(det: MegaDetector):
+    @jax.jit
+    def predict(params, v):
+        return det.apply(params, v,
+                         method=lambda m, x: m.box_head.predictions(x))
+    return predict
+
+
 def detect_video(det: MegaDetector, params, images, image_hw, *,
                  key_post_nms: int = 300, seed: int = 0):
     """Detect every frame of a video with full MEGA semantics.
@@ -213,9 +234,10 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
     K+1), bbox_deltas, visual (T, Nk, 1024).
     """
     t_total = len(images)
-    run = _precompute_fns(det, params, key_post_nms=key_post_nms)
-    outs = [run(jnp.asarray(np.ascontiguousarray(images[t])),
-                jnp.asarray(image_hw)) for t in range(t_total)]
+    run = _precompute_jit(det, key_post_nms)
+    hw = jnp.asarray(image_hw)
+    outs = [run(params, jnp.asarray(np.ascontiguousarray(images[t])), hw)
+            for t in range(t_total)]
     kb, kv, ks, kf, rb, rv, rf = (jnp.stack([o[i] for o in outs])
                                   for i in range(7))
 
@@ -230,12 +252,8 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
         mem_size=det.window, window=det.window,
         key_loc=det.key_loc, glob_idx=glob_idx)
 
-    @jax.jit
-    def predict(v):
-        return det.apply(params, v, method=lambda m, x:
-                         m.box_head.predictions(x))
-
-    cls_logits, bbox_deltas = predict(visual.reshape(-1, 1024))
+    cls_logits, bbox_deltas = _predict_jit(det)(
+        params, visual.reshape(-1, 1024))
     nk = kb.shape[1]
     return {"proposals": np.asarray(kb), "proposal_scores": np.asarray(ks),
             "valid": np.asarray(kv),

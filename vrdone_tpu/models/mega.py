@@ -444,6 +444,68 @@ def global_indices(seg_len: int, global_size: int = 10,
     return out
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _stream_jit(head: MEGAHead, mem_size: int, window: int, key_loc: int,
+                key_is_fc0: bool, use_glob: bool):
+    """One compiled scan per (head config, schedule knobs); params and
+    the per-video arrays are arguments, so every same-shaped video
+    reuses the program (the per-video serving loop must not re-trace)."""
+
+    @jax.jit
+    def run(params, key_feat, key_rois, key_valid, ref_feat, ref_rois,
+            ref_valid, glob_idx):
+        t_total, b, d = ref_feat.shape
+        state = init_stream_state(head.stage, mem_size, b,
+                                  head.advanced_num, d)
+        seg_len = jnp.int32(t_total)
+
+        def step(carry, t):
+            st = carry
+            widx = window_indices(t, seg_len, window=window,
+                                  key_loc=key_loc)
+            win = BoxSet(ref_feat[widx], ref_rois[widx], ref_valid[widx])
+            glob = None
+            if use_glob:
+                gi = glob_idx[t]
+                glob = flatten_set(BoxSet(ref_feat[gi], ref_rois[gi],
+                                          ref_valid[gi]))
+            # memory read BEFORE this step's push (reference :932-937
+            # binds `memory` before update_memory); disabled entirely
+            # when MEMORY.ENABLE is off (the reference gates
+            # update_memory and the mem concat on self.memory_enable)
+            mem = None
+            if head.memory_enable:
+                mem = [flatten_set(BoxSet(st.mem_feat[i], st.mem_rois[i],
+                                          st.mem_valid[i]))
+                       for i in range(head.stage)]
+
+            out, pushes = head.apply(
+                params, key_feat[t], key_rois[t], key_valid[t], win, mem,
+                glob, key_is_fc0=key_is_fc0, return_pushes=True,
+                method=MEGAHead.enhance)
+
+            new_f, new_r, new_v = [], [], []
+            for i in range(head.stage):
+                p = pushes[i]
+                new_f.append(jnp.roll(st.mem_feat[i], -1, axis=0)
+                             .at[-1].set(p.feat))
+                new_r.append(jnp.roll(st.mem_rois[i], -1, axis=0)
+                             .at[-1].set(p.rois))
+                new_v.append(jnp.roll(st.mem_valid[i], -1, axis=0)
+                             .at[-1].set(p.valid))
+            st = MegaStreamState(tuple(new_f), tuple(new_r),
+                                 tuple(new_v))
+            return st, out
+
+        _, outs = jax.lax.scan(step, state, jnp.arange(t_total))
+        return outs
+
+    return run
+
+
 def stream_video(head: MEGAHead, params, *, key_feat: Array,
                  key_rois: Array, key_valid: Array, key_is_fc0: bool,
                  ref_feat: Array, ref_rois: Array, ref_valid: Array,
@@ -459,53 +521,17 @@ def stream_video(head: MEGAHead, params, *, key_feat: Array,
     global frame indices (see global_indices), or None to disable the
     global stages. Returns (T, Nk, D).
 
-    One jit-compiled program per (T, Nk, B) bucket: the per-frame fc0
-    features are computed by the caller in one batched pass; this scan is
-    only the sequential set-attention.
+    One compiled program per (head config, schedule, (T, Nk, B) bucket) —
+    cached in _stream_jit so the per-video loop never re-traces. The
+    per-frame fc0 features are computed by the caller in one batched
+    pass; this scan is only the sequential set-attention.
     """
-    t_total, b, d = ref_feat.shape
-    state = init_stream_state(head.stage, mem_size, b,
-                              head.advanced_num, d)
-    seg_len = jnp.int32(t_total)
     use_glob = glob_idx is not None and head.global_enable
+    run = _stream_jit(head, mem_size, window, key_loc, key_is_fc0,
+                      use_glob)
     if use_glob:
-        glob_idx = jnp.asarray(glob_idx)
-
-    def step(carry, t):
-        st = carry
-        widx = window_indices(t, seg_len, window=window, key_loc=key_loc)
-        win = BoxSet(ref_feat[widx], ref_rois[widx], ref_valid[widx])
-        glob = None
-        if use_glob:
-            gi = glob_idx[t]
-            glob = flatten_set(BoxSet(ref_feat[gi], ref_rois[gi],
-                                      ref_valid[gi]))
-        # memory read BEFORE this step's push (reference :932-937 binds
-        # `memory` before update_memory); disabled entirely when the
-        # head's MEMORY.ENABLE knob is off (reference gates update_memory
-        # and the mem concat on self.memory_enable)
-        mem = None
-        if head.memory_enable:
-            mem = [flatten_set(BoxSet(st.mem_feat[i], st.mem_rois[i],
-                                      st.mem_valid[i]))
-                   for i in range(head.stage)]
-
-        out, pushes = head.apply(
-            params, key_feat[t], key_rois[t], key_valid[t], win, mem,
-            glob, key_is_fc0=key_is_fc0, return_pushes=True,
-            method=MEGAHead.enhance)
-
-        new_f, new_r, new_v = [], [], []
-        for i in range(head.stage):
-            p = pushes[i]
-            new_f.append(jnp.roll(st.mem_feat[i], -1, axis=0)
-                         .at[-1].set(p.feat))
-            new_r.append(jnp.roll(st.mem_rois[i], -1, axis=0)
-                         .at[-1].set(p.rois))
-            new_v.append(jnp.roll(st.mem_valid[i], -1, axis=0)
-                         .at[-1].set(p.valid))
-        st = MegaStreamState(tuple(new_f), tuple(new_r), tuple(new_v))
-        return st, out
-
-    _, outs = jax.lax.scan(step, state, jnp.arange(t_total))
-    return outs
+        gi = jnp.asarray(glob_idx)
+    else:  # fixed arity for the cached jit; traced but unused
+        gi = jnp.zeros((ref_feat.shape[0], 1), jnp.int32)
+    return run(params, key_feat, key_rois, key_valid, ref_feat, ref_rois,
+               ref_valid, gi)
