@@ -138,12 +138,20 @@ def main():
             logger.info(f"Predicted relations saved at {save_path}")
 
     if len(ckpt_paths) > 1:
+        # Reference protocol (reference eval.py:182-192): for each metric
+        # key, locate the sweep epoch with that key's maximum and report
+        # the FULL metric row of that epoch (RelDet_mAP is first, so the
+        # first block is the headline best-epoch row).
+        logger.info("-" * 90)
+        interval = config["training_config"].get("save_interval", 1)
         for key in METRIC_KEYS:
-            best = max(range(len(all_results[key])),
-                       key=lambda i: all_results[key][i])
-            logger.info(f"Best {key} at sweep index {best}: "
-                        f"{all_results[key][best]:.6f}")
-        logger.info(f"All results: {dict(all_results)}")
+            best = all_results[key].index(max(all_results[key]))
+            epoch = best * interval + args.eval_start_epoch
+            logger.info(f"Best {key} result is in epoch {epoch}")
+            for k, vs in all_results.items():
+                logger.info(f"{k}: {vs[best]:.6f}")
+        logger.info("All of the results:")
+        logger.info(f"{dict(all_results)}")
     logger.info("Eval done.")
 
 

@@ -89,18 +89,71 @@ def test_chunk_starts_cover():
 
 def test_merge_spans():
     recs = [
-        {"pred_cat": 3, "score": 0.5, "start": 0, "end": 10},
-        {"pred_cat": 3, "score": 0.7, "start": 10, "end": 20},  # abuts
-        {"pred_cat": 3, "score": 0.2, "start": 30, "end": 40},  # separate
-        {"pred_cat": 4, "score": 0.9, "start": 5, "end": 15},   # other pred
+        {"query": 0, "pred_cat": 3, "score": 0.5, "start": 0, "end": 10},
+        {"query": 0, "pred_cat": 3, "score": 0.7, "start": 10, "end": 20},
+        {"query": 0, "pred_cat": 3, "score": 0.2, "start": 30, "end": 40},
+        {"query": 0, "pred_cat": 4, "score": 0.9, "start": 5, "end": 15},
+        # same predicate, different query: must NOT merge with query 0
+        {"query": 1, "pred_cat": 3, "score": 0.4, "start": 15, "end": 25},
     ]
     merged = merge_spans(recs)
-    m3 = sorted([r for r in merged if r["pred_cat"] == 3],
+    m3 = sorted([r for r in merged
+                 if r["pred_cat"] == 3 and r["query"] == 0],
                 key=lambda r: r["start"])
     assert len(m3) == 2
     assert (m3[0]["start"], m3[0]["end"]) == (0, 20)
     assert m3[0]["score"] == 0.7
     assert len([r for r in merged if r["pred_cat"] == 4]) == 1
+    m3q1 = [r for r in merged if r["pred_cat"] == 3 and r["query"] == 1]
+    assert len(m3q1) == 1 and (m3q1[0]["start"], m3q1[0]["end"]) == (15, 25)
+
+
+def test_single_chunk_matches_batch_decode():
+    """A sequence that fits in one chunk must yield exactly the batch
+    path's per-(query, class) spans (VERDICT r2 item 8)."""
+    from vrdone_tpu.eval.decode import InferenceRunner
+
+    cfg = local_cfg()
+    model = MaskVRD(cfg)
+    c = 2 * cfg.visual_dim + cfg.bbox_so_dim + 2 * cfg.bbox_entity_dim
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 192, c)).astype(np.float32)
+    params = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                        jnp.ones((1, 192), bool),
+                        deterministic=True)["params"]
+    infer = InferenceConfig(topk=2, feat_stride=1, pred_min_frames=1,
+                            n_max_pair=100, viou_th=0.5, max_so_pair=8)
+    t = 192  # fits in one chunk (chunk_len=576) AND is a valid pad length
+    so_feat = rng.standard_normal((t, c)).astype(np.float32)
+
+    stream = StreamingRunner(cfg, params, infer, feat_dim=c, chunk_len=576)
+    # force the chunk shape to the sequence length so padding semantics
+    # match the batch bucket exactly... actually both paths pad with the
+    # masked-ops guarantee, so shapes may differ; outputs must not.
+    records = stream.run_pair(so_feat)
+
+    batch = InferenceRunner(cfg, params, infer, feat_dim=c)
+    scores, catids, masks = batch.run_pairs([so_feat])
+    expected = set()
+    exp_scores = {}
+    nq, topk = scores[0].shape
+    for qi in range(nq):
+        idx = np.nonzero(masks[0][qi])[0]
+        if len(idx) == 0:
+            continue
+        lo, hi = int(idx[0]), int(idx[-1]) + 1
+        for k in range(topk):
+            key = (qi, int(catids[0][qi, k]), lo, hi)
+            expected.add(key)
+            exp_scores[key] = float(scores[0][qi, k])
+
+    got = set()
+    for r in records:
+        key = (r["query"], r["pred_cat"], r["start"], r["end"])
+        got.add(key)
+        np.testing.assert_allclose(r["score"], exp_scores[key],
+                                   rtol=1e-5, atol=1e-6)
+    assert got == expected and len(got) > 0
 
 
 def test_streaming_end_to_end():

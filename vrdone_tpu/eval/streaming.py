@@ -60,13 +60,20 @@ def receptive_halo(cfg: ModelConfig) -> int:
 
 
 def merge_spans(records: list[dict]) -> list[dict]:
-    """Stitch same-(query-agnostic)-predicate spans that overlap or abut
-    across chunk boundaries; score = max of the parts."""
-    by_pred: dict[int, list[dict]] = {}
+    """Stitch spans of the same (query, predicate) that overlap or abut
+    across chunk boundaries; score = max of the parts.
+
+    Keyed per (query, pred_cat) so the streaming output has the same
+    granularity as the batch decode path (eval/decode.py::decode_video
+    emits one span per (query, top-k class)); a sequence that fits in one
+    chunk therefore yields bit-identical spans to the batch path (pinned
+    by tests/test_streaming.py::test_single_chunk_matches_batch_decode).
+    Records missing a "query" field merge query-agnostically (legacy)."""
+    by_key: dict[tuple, list[dict]] = {}
     for r in records:
-        by_pred.setdefault(r["pred_cat"], []).append(r)
+        by_key.setdefault((r.get("query", -1), r["pred_cat"]), []).append(r)
     out = []
-    for recs in by_pred.values():
+    for recs in by_key.values():
         recs.sort(key=lambda r: r["start"])
         cur = dict(recs[0])
         for r in recs[1:]:
@@ -112,7 +119,7 @@ class StreamingRunner:
                 scores, catids = jax.lax.top_k(probs[..., 1:],
                                                self.infer.topk)
                 masks_bin = jax.nn.sigmoid(preds["pred_masks"]) > 0.5
-                return scores, catids, masks_bin
+                return scores, catids + 1, masks_bin
             self._fn = fn
         return self._fn
 
@@ -135,8 +142,9 @@ class StreamingRunner:
         return out
 
     def run_pair(self, so_feat: np.ndarray) -> list[dict]:
-        """Returns raw span records: {query-free} dicts with
-        pred_cat (1-based), score, start, end — in feature-grid coords."""
+        """Returns span records: dicts with query, pred_cat (1-based),
+        score, start, end — in feature-grid coords; one record per
+        (query, top-k class), same granularity as the batch decode."""
         t = so_feat.shape[0]
         fn = self._forward()
         records = []
@@ -171,17 +179,17 @@ class StreamingRunner:
                     idx = np.nonzero(on)[0]
                     if len(idx) == 0:
                         continue
-                    # contiguous runs -> spans
-                    breaks = np.nonzero(np.diff(idx) > 1)[0]
-                    starts_ = np.concatenate([[0], breaks + 1])
-                    ends_ = np.concatenate([breaks, [len(idx) - 1]])
-                    for s_i, e_i in zip(starts_, ends_):
-                        lo = int(idx[s_i]) + start
-                        hi = int(idx[e_i]) + start + 1
-                        for k in range(topk):
-                            records.append({
-                                "pred_cat": int(catids[qi, k]),
-                                "score": float(scores[qi, k]),
-                                "start": lo, "end": hi,
-                            })
+                    # batch-decode semantics (eval/decode.py:127-132): one
+                    # span per (query, class) = first..last True index,
+                    # gaps included; cross-chunk stitching happens in
+                    # merge_spans keyed on the same (query, class).
+                    lo = int(idx[0]) + start
+                    hi = int(idx[-1]) + start + 1
+                    for k in range(topk):
+                        records.append({
+                            "query": qi,
+                            "pred_cat": int(catids[qi, k]),
+                            "score": float(scores[qi, k]),
+                            "start": lo, "end": hi,
+                        })
         return merge_spans(records)
