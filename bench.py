@@ -92,17 +92,32 @@ def main():
     except Exception:
         pass
 
+    # VidOR eval forward (T=512, vidor.yaml dims, bf16) — the larger
+    # benchmark corpus gets its own pinned chip number (VERDICT r2
+    # item 7)
+    try:
+        extra.append(_vidor_eval_metric())
+    except Exception as e:
+        extra.append({"metric": "vidor_eval_error", "value": str(e)})
+
     # fused train step (forward + Hungarian + losses + backward + AdamW +
-    # EMA) on a 1-chip mesh at the production VidVRD batch shape.
-    # fp32 only: XLA's default matmul precision already runs f32 matmuls
-    # as bf16 MXU passes, so --compute_dtype bfloat16 measured SLOWER
-    # here (29.9 vs 17.96 ms/step, 2026-08-16) — the cast traffic buys
-    # nothing at this model size. bf16 training remains an opt-in for
-    # memory-bound configs (see DEVNOTES).
+    # EMA) on a 1-chip mesh: the 24-pair VidVRD parity shape AND the
+    # documented larger-batch recipe (96 pairs = 24 videos x 4 pairs),
+    # which lifts MFU by filling the chip (see DEVNOTES round-3 MFU
+    # analysis). fp32 only: XLA's default matmul precision already runs
+    # f32 matmuls as bf16 MXU passes, so --compute_dtype bfloat16
+    # measured SLOWER here (29.9 vs 17.96 ms/step, 2026-08-16) — the
+    # cast traffic buys nothing at this model size. bf16 training
+    # remains an opt-in for memory-bound configs (see DEVNOTES).
     try:
         extra.append(_train_step_metric(cfg, c))
     except Exception as e:  # keep the headline alive no matter what
         extra.append({"metric": "train_step_error", "value": str(e)})
+    try:
+        extra.append(_train_step_metric(cfg, c, pairs=96,
+                                        tag="train_step_b96"))
+    except Exception as e:
+        extra.append({"metric": "train_step_b96_error", "value": str(e)})
 
     for rec in extra:
         print(json.dumps(rec), file=sys.stderr)
@@ -116,15 +131,71 @@ def main():
     }))
 
 
-def _train_step_metric(cfg, c, tag="train_step"):
+def _vidor_eval_metric():
+    """Eval forward at the VidOR production shape (T=512, vidor.yaml
+    dims, bf16 serving)."""
+    from vrdone_tpu.config import load_yaml_config, model_config_from_yaml
+    from vrdone_tpu.models.maskvrd import MaskVRD
+    from vrdone_tpu.utils.precision import cast_floating
+
+    config = load_yaml_config("configs/vidor.yaml")
+    config["dataset_config"].update(config["test_dataset_config"])
+    cfg = model_config_from_yaml(config)
+    model = MaskVRD(cfg)
+    c = 2 * cfg.visual_dim + cfg.bbox_so_dim + 2 * cfg.bbox_entity_dim
+    b, t = 16, cfg.max_seq_len       # 16 pairs x T=512
+    key = jax.random.key(0)
+    feats = jax.random.normal(key, (b, t, c), jnp.float32)
+    mask = jnp.ones((b, t), bool)
+    params = model.init({"params": key}, feats, mask,
+                        deterministic=True)["params"]
+    params = cast_floating(params)
+    feats = feats.astype(jnp.bfloat16)
+
+    @jax.jit
+    def forward(feats, mask):
+        preds = model.apply({"params": params}, feats, mask,
+                            deterministic=True)
+        probs = jax.nn.softmax(preds["pred_logits"], axis=-1)
+        scores, catids = jax.lax.top_k(probs[..., 1:], 6)
+        masks_bin = jax.nn.sigmoid(preds["pred_masks"]) > 0.5
+        return scores, catids, masks_bin
+
+    compiled = forward.lower(feats, mask).compile()
+    out = compiled(feats, mask)
+    jax.block_until_ready(out)
+    n_iter = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = compiled(feats, mask)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    rec = {"metric": "vidor_eval_forward_so_pairs_per_sec_per_chip",
+           "value": round(b / dt, 1), "unit": "pairs/s",
+           "vs_baseline": round(dt * 1e3, 2),
+           "note": "vs_baseline field = batch latency ms (T=512)"}
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            rec["achieved_tflops_per_sec"] = round(flops / dt / 1e12, 2)
+    except Exception:
+        pass
+    return rec
+
+
+def _train_step_metric(cfg, c, tag="train_step", pairs=24):
     import numpy as np
 
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
     from vrdone_tpu.train.loop import (commit_state, create_train_state,
                                        make_jitted_train_step)
 
-    # production VidVRD shape: batch 6 videos x 4 pairs, T=96, 9 gt slots
-    p, t, g = 24, cfg.max_seq_len, 9
+    # default: production VidVRD shape, batch 6 videos x 4 pairs, T=96,
+    # 9 gt slots; pairs=96 measures the large-batch recipe (24 x 4)
+    p, t, g = pairs, cfg.max_seq_len, 9
     rng = np.random.default_rng(0)
     batch = {
         "feats": rng.standard_normal((p, t, c)).astype(np.float32),

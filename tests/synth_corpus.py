@@ -224,3 +224,153 @@ def make_vidvrd_test_corpus(root: str, n_videos: int = 2, seed: int = 1,
             pickle.dump(feats, f)
 
     return {"info_dir": info_dir, "test_boxfeatures_dir": feat_dir}
+
+
+def make_learnable_corpus(root: str, n_train_videos: int = 6,
+                          n_test_videos: int = 2, n_frames: int = 40,
+                          seed: int = 7, vis_dim: int = VIS_DIM,
+                          predicates=("walk_next_to", "chase", "watch")):
+    """Train + test corpus whose predicates ARE PREDICTABLE from the
+    features: while a relation (s, o, pred) is active, the subject's
+    visual feature carries +E[pred] and the object's carries -E[pred]
+    (orthogonal patterns, amplitude >> noise), both in the train GT
+    feature pickles and the test proposal feature pickles. Test proposal
+    boxes equal the GT trajectories (vIoU 1) and proposal cat_ids match
+    the annotation categories, so a model that learns the mapping scores
+    RelDet_mAP ~= 1. The one cheap end-to-end signal that matching +
+    losses + decode + scoring jointly constitute a learnable objective.
+    """
+    import torch
+
+    from vrdone_tpu.data.category import get_vocab
+    entity_vocab, _ = get_vocab("vidvrd")
+    name_to_id = {v: k for k, v in entity_vocab.items()}
+
+    rng = np.random.default_rng(seed)
+    sig = np.zeros((len(predicates), vis_dim), np.float32)
+    for i in range(len(predicates)):
+        sig[i, i % vis_dim] = 4.0
+
+    ann_tr = os.path.join(root, "annotations", "train")
+    feat_tr = os.path.join(root, "features", "GT_boxfeatures_training")
+    ann_te = os.path.join(root, "annotations", "test")
+    info_te = os.path.join(root, "features", "per_video_val")
+    feat_te = os.path.join(root, "features", "Proposal_boxfeatures_test")
+    for d in (ann_tr, feat_tr, ann_te, info_te, feat_te):
+        os.makedirs(d, exist_ok=True)
+
+    def tracks_and_relation(v):
+        """Two full-length tracks + one relation with a per-video span."""
+        pred = predicates[v % len(predicates)]
+        bf = 4 + int(rng.integers(0, 6))
+        ef = bf + 12 + int(rng.integers(0, 8))
+        ef = min(ef, n_frames - 2)
+        return pred, bf, ef
+
+    def feat_of(tid, f, pred_idx, bf, ef):
+        x = 0.1 * rng.standard_normal(vis_dim).astype(np.float32)
+        if bf <= f < ef:
+            x = x + (sig[pred_idx] if tid == 0 else -sig[pred_idx])
+        return x
+
+    w, h = 320, 240
+    for v in range(n_train_videos):
+        name = f"learn_{v:04d}"
+        pred, bf, ef = tracks_and_relation(v)
+        pred_idx = predicates.index(pred)
+        trajectories = []
+        for f in range(n_frames):
+            trajectories.append([
+                {"tid": 0, "bbox": {"xmin": 10.0, "ymin": 10.0,
+                                    "xmax": 110.0, "ymax": 110.0}},
+                {"tid": 1, "bbox": {"xmin": 150.0, "ymin": 60.0,
+                                    "xmax": 250.0, "ymax": 160.0}},
+            ])
+        anno = {
+            "video_id": name, "height": h, "width": w,
+            "frame_count": n_frames,
+            "subject/objects": [{"tid": 0, "category": "dog"},
+                                {"tid": 1, "category": "person"}],
+            "trajectories": trajectories,
+            "relation_instances": [{
+                "subject_tid": 0, "object_tid": 1, "predicate": pred,
+                "begin_fid": bf, "end_fid": ef}],
+        }
+        with open(os.path.join(ann_tr, name + ".json"), "w") as f:
+            json.dump(anno, f)
+        feats = {}
+        for f in range(n_frames):
+            feats[f + 1] = {
+                "frame_id": f + 1,
+                "tids": np.asarray([0, 1], np.int64),
+                "visual_features": np.stack([
+                    feat_of(0, f, pred_idx, bf, ef),
+                    feat_of(1, f, pred_idx, bf, ef)]),
+            }
+        with open(os.path.join(feat_tr, name + ".pkl"), "wb") as f:
+            pickle.dump(feats, f)
+
+    for v in range(n_test_videos):
+        name = f"learntest_{v:04d}"
+        pred, bf, ef = tracks_and_relation(v)
+        pred_idx = predicates.index(pred)
+        boxes0 = [[10.0, 10.0, 110.0, 110.0]] * n_frames
+        boxes1 = [[150.0, 60.0, 250.0, 160.0]] * n_frames
+        proposal = {
+            "MAX_PROPOSAL": 50,
+            "video_name": name,
+            "cat_ids": torch.tensor([name_to_id["dog"],
+                                     name_to_id["person"]]),
+            "scores": torch.tensor([0.9, 0.9]),
+            "bboxes_list": [torch.tensor(boxes0), torch.tensor(boxes1)],
+            "traj_durations": torch.tensor([[0, n_frames - 1],
+                                            [0, n_frames - 1]]),
+            "features_list": [torch.randn(n_frames, vis_dim)
+                              for _ in range(2)],
+            "num_proposals": 2,
+            "dim_feat": vis_dim,
+            "video_len": n_frames,
+            "video_wh": (w, h),
+        }
+        with open(os.path.join(info_te, name + ".pkl"), "wb") as f:
+            pickle.dump({"traj_proposal": proposal}, f)
+
+        trajectories = []
+        for f in range(n_frames):
+            trajectories.append([
+                {"tid": 0, "bbox": {"xmin": 10.0, "ymin": 10.0,
+                                    "xmax": 110.0, "ymax": 110.0}},
+                {"tid": 1, "bbox": {"xmin": 150.0, "ymin": 60.0,
+                                    "xmax": 250.0, "ymax": 160.0}},
+            ])
+        anno = {
+            "video_id": name, "height": h, "width": w,
+            "frame_count": n_frames,
+            "subject/objects": [{"tid": 0, "category": "dog"},
+                                {"tid": 1, "category": "person"}],
+            "trajectories": trajectories,
+            "relation_instances": [{
+                "subject_tid": 0, "object_tid": 1, "predicate": pred,
+                "begin_fid": bf, "end_fid": ef}],
+        }
+        with open(os.path.join(ann_te, name + ".json"), "w") as f:
+            json.dump(anno, f)
+
+        feats = {}
+        for f in range(n_frames):
+            feats[f] = {
+                "frame_id": f,
+                "tids": np.asarray([0, 1], np.int64),
+                "visual_features": np.stack([
+                    feat_of(0, f, pred_idx, bf, ef),
+                    feat_of(1, f, pred_idx, bf, ef)]),
+            }
+        with open(os.path.join(feat_te, name + ".pkl"), "wb") as f:
+            pickle.dump(feats, f)
+
+    return {
+        "ann_dir": os.path.join(root, "annotations"),
+        "gt_boxfeatures_dir": feat_tr,
+        "info_dir": info_te,
+        "test_boxfeatures_dir": feat_te,
+    }

@@ -243,3 +243,94 @@ def test_train_detector_coco_mode(tmp_path):
     log = r.stdout + r.stderr
     assert "COCO source: 3 images" in log
     assert "video source: 1 videos, 2 frames" in log
+
+
+def _tiny_video_corpus(root, rng):
+    """2 tiny landscape videos with box annotations."""
+    from PIL import Image
+    anno_dir = os.path.join(root, "annotations")
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(anno_dir, exist_ok=True)
+    for v in range(2):
+        name = f"vid{v}"
+        h, w = 80, 120
+        os.makedirs(os.path.join(frames_dir, name), exist_ok=True)
+        trajectories = []
+        for f in range(3):
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(frames_dir, name, f"{f + 1:06d}.jpg"))
+            trajectories.append([
+                {"tid": 0, "bbox": {"xmin": 10, "ymin": 10,
+                                    "xmax": 60, "ymax": 50}}])
+        anno = {
+            "video_id": name, "height": h, "width": w, "frame_count": 3,
+            "subject/objects": [{"tid": 0, "category": "dog"}],
+            "trajectories": trajectories,
+            "relation_instances": [],
+        }
+        with open(os.path.join(anno_dir, name + ".json"), "w") as f:
+            json.dump(anno, f)
+    return anno_dir, frames_dir
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["base", "rdn", "fgfa", "dff"])
+def test_train_detector_method_smoke(tmp_path, method):
+    """--method trains every non-MEGA scheme end to end (VERDICT r2
+    item 2): 2 iterations, ckpt written, losses logged."""
+    rng = np.random.default_rng(2)
+    root = str(tmp_path)
+    anno_dir, frames_dir = _tiny_video_corpus(root, rng)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    exp = os.path.join(root, "exp")
+    r = subprocess.run(
+        [sys.executable, "tools/train_detector.py",
+         "--method", method,
+         "--anno_dir", anno_dir, "--frames_dir", frames_dir,
+         "--exp_dir", exp, "--dataset", "vidvrd",
+         "--iters", "2", "--resnet_layers", "1,1,1",
+         "--min_size", "64", "--canvas", "64", "96",
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "2",
+         "--base_num", "4", "--post_nms_top_n", "8"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(exp, "detector_2.ckpt"))
+    log = r.stdout + r.stderr
+    assert "loss_rpn_cls" in log and f"method={method}" in log
+
+
+@pytest.mark.slow
+def test_train_detector_multiscale_smoke(tmp_path):
+    """--min_sizes multi-scale training (reference MIN_SIZE_TRAIN
+    tuple, VERDICT r2 item 3): scales sampled per iteration, one
+    compiled program per (group, scale) canvas."""
+    rng = np.random.default_rng(3)
+    root = str(tmp_path)
+    anno_dir, frames_dir = _tiny_video_corpus(root, rng)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    exp = os.path.join(root, "exp")
+    r = subprocess.run(
+        [sys.executable, "tools/train_detector.py",
+         "--method", "base",
+         "--anno_dir", anno_dir, "--frames_dir", frames_dir,
+         "--exp_dir", exp, "--dataset", "vidvrd",
+         "--iters", "4", "--resnet_layers", "1,1,1",
+         "--min_sizes", "64", "96", "--canvas", "64", "96",
+         "--max_gt", "4", "--log_interval", "1", "--save_interval", "4",
+         "--base_num", "4", "--post_nms_top_n", "8", "--seed", "5"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = r.stdout + r.stderr
+    assert "multi-scale training: min_sizes=[64, 96]" in log
+    # the scaled canvas bucket exists (96/64 x (64, 96) -> (96, 160)
+    # after the 32-px round-up)
+    assert "(96, 160)" in log

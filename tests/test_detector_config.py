@@ -39,9 +39,13 @@ def test_reference_yaml_parses_as_is():
 
 
 def test_our_preset_matches_reference_recipe():
+    from dataclasses import replace
     ours = load_detector_config("configs/detector/mega_vidvrd.yaml")
     ref = load_detector_config(REF_MEGA_YAML)
-    assert ours == ref
+    # our preset inlines the INPUT section the reference gets from its
+    # BASE_RCNN_2gpu.yaml pre-merge (the loader is single-file)
+    assert ours == replace(ref, min_size_train=(600,),
+                           max_size_train=1000)
 
 
 def test_overrides_and_kwargs():
@@ -106,3 +110,41 @@ def test_detector_sgd_matches_torch_groups():
                                tw.detach().numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(params["dense"]["bias"]),
                                tb.detach().numpy(), atol=1e-6)
+
+
+def test_all_method_presets_parse():
+    """VERDICT r2 item 3: the full preset tree ships and parses.
+    Every configs/detector/*.yaml resolves to its method with the
+    reference recipe's solver + INPUT values."""
+    import glob
+    import os
+
+    presets = sorted(glob.glob("/root/repo/configs/detector/*.yaml"))
+    by_method = {}
+    for path in presets:
+        cfg = load_detector_config(path)
+        by_method.setdefault(cfg.method, []).append(
+            (os.path.basename(path), cfg))
+    assert set(by_method) == {"base", "mega", "rdn", "fgfa", "dff"}
+    for method, entries in by_method.items():
+        for name, cfg in entries:
+            assert cfg.resnet_layers == (3, 4, 23), name
+            assert cfg.min_size_train == (600,), name
+            assert cfg.max_size_train == 1000, name
+            assert cfg.base_lr == 0.001, name
+    # RDN advanced preset carries the distillation stage
+    rdn_cfgs = {n: c for n, c in by_method["rdn"]}
+    assert rdn_cfgs["rdn_vidvrd.yaml"].advanced_stage == 1
+    assert rdn_cfgs["rdn_base_vidvrd.yaml"].advanced_stage == 0
+
+
+def test_reference_base_and_input_yaml():
+    """The reference's own BASE_RCNN yaml (with its python-tuple INPUT
+    strings) parses: MIN_SIZE_TRAIN tuple + MAX_SIZE_TRAIN."""
+    cfg = load_detector_config(
+        "/root/reference/datasets/mega/configs/BASE_RCNN_2gpu.yaml")
+    assert cfg.min_size_train == (600,)
+    assert cfg.max_size_train == 1000
+    assert cfg.steps == (80000,)
+    # defaults when INPUT is absent
+    assert DetectorConfig().min_size_train == (800,)

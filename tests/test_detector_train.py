@@ -293,3 +293,109 @@ def test_gt_proposals_guarantee_positives():
     # matcher labels at least one positive and the reg loss is live
     assert float(losses["loss_box_reg"]) > 0
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_sample_method_refs_ranges():
+    rng = np.random.default_rng(0)
+    for method, (lo, hi, n) in DT.METHOD_REF_OFFSETS.items():
+        if n == 0:
+            assert DT.sample_method_refs(rng, method, 5, 30).shape == (0,)
+            continue
+        for fid, seg in [(0, 30), (15, 30), (29, 30), (2, 3)]:
+            ids = DT.sample_method_refs(rng, method, fid, seg)
+            assert ids.shape == (n,)
+            assert (ids >= 0).all() and (ids < seg).all()
+            # offsets within the method's band (clipping pulls closer)
+            assert (ids - fid <= hi).all() and (ids - fid >= lo
+                                                - seg).all()
+    # dff refs never look forward
+    for _ in range(20):
+        ids = DT.sample_method_refs(rng, "dff", 10, 30)
+        assert (ids <= 10).all()
+
+
+def _method_det_and_batch(method, b=8, h=64, w=96):
+    """Tiny detector + dp batch for one VID.METHOD."""
+    rng = np.random.default_rng(7)
+    n_refs = DT.METHOD_REF_OFFSETS[method][2]
+    if method == "base":
+        from vrdone_tpu.models.base_rcnn import BaseDetector
+        det = BaseDetector(num_classes=5, resnet_layers=(1, 1, 1))
+    elif method == "rdn":
+        from vrdone_tpu.models.rdn import RDNDetector
+        det = RDNDetector(num_classes=5, resnet_layers=(1, 1, 1),
+                          base_stage=2, advanced_stage=1, groups=4,
+                          base_num=4, window=3, key_loc=1)
+    elif method == "fgfa":
+        from vrdone_tpu.models.flownet import FGFADetector
+        det = FGFADetector(num_classes=5, resnet_layers=(1, 1, 1))
+    else:
+        from vrdone_tpu.models.flownet import DFFDetector
+        det = DFFDetector(num_classes=5, resnet_layers=(1, 1, 1))
+    batch = {
+        "key": rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32),
+        "ref": rng.uniform(0, 255, (b, n_refs, h, w, 3)).astype(
+            np.float32),
+        "gt_boxes": np.tile(np.array([[[10, 10, 50, 40]]], np.float32),
+                            (b, 1, 1)),
+        "gt_labels": np.full((b, 1), 2, np.int32),
+        "gt_valid": np.ones((b, 1), bool),
+    }
+    return det, batch
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["base", "rdn", "fgfa", "dff"])
+def test_method_train_step_dp_mesh(method):
+    """VERDICT r2 item 2: every non-MEGA VID.METHOD has a training path.
+    dp-mesh train step per method: finite losses, parameters move, and
+    the method-specific machinery receives gradient (flownet for
+    fgfa/dff, the RDN attention head for rdn)."""
+    import optax
+
+    from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+
+    h, w = 64, 96
+    det, batch = _method_det_and_batch(method, h=h, w=w)
+    hw = jnp.asarray([h, w])
+    sample = {"key": jnp.asarray(batch["key"][0]),
+              "ref": jnp.asarray(batch["ref"][0])}
+    params = DT.init_method_train_params(method, det, jax.random.key(0),
+                                         sample, hw, post_nms_top_n=8)
+
+    # the method machinery gets gradient (not dead compute)
+    grad_key = {"base": None, "rdn": "rdn", "fgfa": "fgfa", "dff": "dff"}[
+        method]
+
+    def loss_fn(params):
+        out = DT.method_detector_losses(
+            method, det, params, sample, hw,
+            jnp.asarray(batch["gt_boxes"][0]),
+            jnp.asarray(batch["gt_labels"][0]),
+            jnp.asarray(batch["gt_valid"][0]), jax.random.key(1),
+            post_nms_top_n=8)
+        return out["total_loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    if grad_key is not None:
+        gnorm = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree.leaves(grads["params"][grad_key]))
+        assert gnorm > 0, f"{grad_key} got zero gradient"
+
+    mesh = make_mesh(n_dp=8, n_tp=1)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    step = DT.make_method_train_step(method, det, tx, image_hw=(h, w),
+                                     post_nms_top_n=8)
+    with mesh:
+        sharded = shard_batch(mesh, {k: jnp.asarray(v)
+                                     for k, v in batch.items()})
+        p0 = jax.tree.map(lambda x: np.asarray(x), params)
+        params2, opt_state, losses = step(params, opt_state, sharded,
+                                          jax.random.key(2))
+    total = float(losses["total_loss"])
+    assert np.isfinite(total), {k: float(v) for k, v in losses.items()}
+    moved = max(float(np.abs(np.asarray(b2) - a).max())
+                for a, b2 in zip(jax.tree.leaves(p0),
+                                 jax.tree.leaves(params2)))
+    assert moved > 0

@@ -1,18 +1,29 @@
-"""Train the MEGA-equivalent video detector on annotated frames.
+"""Train a video detector (any MODEL.VID.METHOD) on annotated frames.
 
-Counterpart of reference datasets/mega/train_mega.py (+finetune_mega.py):
-optimizes RPN + box-head losses with SGD + warmup-multistep under the full
-MEGA training scheme (reference generalized_rcnn_mega.py:_forward_train):
-each step samples a key frame plus local / memory / global reference
-frames from the same video (reference vid_mega.py:_get_train), runs them
-through the shared backbone, and computes box-head losses on the
-MEGA-enhanced predictions. Image-dataset (COCO) samples use copies of the
-key image as reference frames, exactly like the reference
-(vid_mega.py:65-73).
+Counterpart of reference datasets/mega/train_mega.py (+finetune_mega.py),
+which trains whichever method the config selects through one entry:
+`--method {mega,base,rdn,fgfa,dff}` picks the training scheme:
 
-Images are resized so the short side is --min_size (reference
-mega_core/config defaults: 600 for the 2-GPU VidVRD recipe) and padded to
-a fixed canvas so the whole step is one XLA program.
+  * mega (default): key + local / memory / global reference frames
+    through the shared backbone, box-head losses on the MEGA-enhanced
+    predictions (reference generalized_rcnn_mega.py:_forward_train).
+  * base: plain single-frame Faster-RCNN
+    (reference generalized_rcnn.py:48-65).
+  * rdn: key + REF_NUM sampled refs; box-head losses on RDN-enhanced
+    predictions (reference generalized_rcnn_rdn.py:75-106).
+  * fgfa: flow-warped cosine-softmax aggregation of ref features; RPN +
+    head on the aggregate (reference generalized_rcnn_fgfa.py:107-139).
+  * dff: features propagated from one ref frame by flow x scale map
+    (reference generalized_rcnn_dff.py:92-115).
+
+Image-dataset (COCO) samples use copies of the key image as reference
+frames, exactly like the reference (vid_mega.py:65-73).
+
+Images are resized so the short side matches --min_size — or, with
+--min_sizes, a scale sampled per iteration from the tuple (reference
+INPUT.MIN_SIZE_TRAIN multi-scale training, transforms/build.py:8-20 +
+maskrcnn Resize random.choice) — and padded to a per-scale fixed canvas
+so each (aspect-group, scale) pair is one XLA program.
 """
 
 from __future__ import annotations
@@ -100,6 +111,26 @@ def sample_frames(anno):
     return out
 
 
+def _detect_fn_of(method: str):
+    """Whole-video detection driver per method, for periodic validation
+    (evaluate_video_detections detect_fn)."""
+    if method == "mega":
+        return None   # evaluate_video_detections default
+    if method == "base":
+        from vrdone_tpu.models.base_rcnn import base_detect_video
+        return base_detect_video
+    if method == "rdn":
+        from vrdone_tpu.models.rdn import rdn_detect_video
+        return rdn_detect_video
+    if method == "fgfa":
+        from vrdone_tpu.models.flownet import fgfa_detect_video
+        return lambda det, params, images, hw: fgfa_detect_video(
+            det, params, images, hw)
+    from vrdone_tpu.models.flownet import dff_detect_video
+    return lambda det, params, images, hw: dff_detect_video(
+        det, params, images, hw)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--anno_dir", default=None,
@@ -113,9 +144,16 @@ def main():
     p.add_argument("--exp_dir", required=True)
     p.add_argument("--dataset", choices=["vidvrd", "vidor"],
                    default="vidvrd")
+    p.add_argument("--method", default="mega",
+                   choices=["mega", "base", "rdn", "fgfa", "dff"],
+                   help="training scheme (reference MODEL.VID.METHOD)")
     p.add_argument("--iters", type=int, default=150000)
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--min_size", type=int, default=600)
+    p.add_argument("--min_sizes", type=int, nargs="+", default=None,
+                   help="multi-scale training: short-side sizes sampled "
+                        "per iteration (reference INPUT.MIN_SIZE_TRAIN "
+                        "tuple); overrides --min_size")
     p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
     p.add_argument("--max_gt", type=int, default=16)
     p.add_argument("--n_local", type=int, default=2,
@@ -184,7 +222,8 @@ def main():
     if args.cfg:
         from vrdone_tpu.detector_config import load_detector_config
         cfg = load_detector_config(args.cfg)
-        for name, v in (("lr", cfg.base_lr), ("iters", cfg.max_iter),
+        for name, v in (("method", cfg.method), ("lr", cfg.base_lr),
+                        ("iters", cfg.max_iter),
                         ("base_num", cfg.ref_post_nms_top_n),
                         ("n_local", cfg.ref_num_local),
                         ("n_mem", cfg.ref_num_mem),
@@ -204,20 +243,62 @@ def main():
     logger = setup_logger("TrainDetector",
                           os.path.join(args.exp_dir, "logfile"))
 
+    if args.min_sizes is None:
+        if cfg is not None and args.min_size == p.get_default("min_size"):
+            args.min_sizes = [int(s) for s in cfg.min_size_train]
+        else:
+            args.min_sizes = [args.min_size]
+    args.min_size = args.min_sizes[0]
+
     layers = tuple(int(x) for x in args.resnet_layers.split(","))
-    det_kw = dict(num_classes=num_classes, resnet_layers=layers,
-                  base_num=args.base_num,
-                  memory_enable=args.n_mem > 0,
-                  global_enable=args.n_glob > 0)
-    if cfg is not None:
-        det_kw.update(stage=cfg.stage, groups=cfg.groups,
-                      global_res_stage=cfg.global_res_stage,
-                      ratio=cfg.ratio, window=cfg.mega_window,
-                      key_loc=cfg.mega_key_loc,
-                      global_size=cfg.global_size,
-                      memory_enable=cfg.memory_enable and args.n_mem > 0,
-                      global_enable=cfg.global_enable and args.n_glob > 0)
-    det = MegaDetector(**det_kw)
+    method = args.method
+    if method == "mega":
+        det_kw = dict(num_classes=num_classes, resnet_layers=layers,
+                      base_num=args.base_num,
+                      memory_enable=args.n_mem > 0,
+                      global_enable=args.n_glob > 0)
+        if cfg is not None:
+            det_kw.update(stage=cfg.stage, groups=cfg.groups,
+                          global_res_stage=cfg.global_res_stage,
+                          ratio=cfg.ratio, window=cfg.mega_window,
+                          key_loc=cfg.mega_key_loc,
+                          global_size=cfg.global_size,
+                          memory_enable=cfg.memory_enable
+                          and args.n_mem > 0,
+                          global_enable=cfg.global_enable
+                          and args.n_glob > 0)
+        det = MegaDetector(**det_kw)
+    elif method == "base":
+        from vrdone_tpu.models.base_rcnn import BaseDetector
+        det = BaseDetector(num_classes=num_classes, resnet_layers=layers)
+    elif method == "rdn":
+        from vrdone_tpu.models.rdn import RDNDetector
+        det = RDNDetector(
+            num_classes=num_classes, resnet_layers=layers,
+            base_num=args.base_num,
+            base_stage=cfg.stage if cfg else 2,
+            advanced_stage=cfg.advanced_stage if cfg else 0,
+            groups=cfg.groups if cfg else 16,
+            ratio=cfg.rdn_ratio if cfg else 0.2,
+            window=cfg.rdn_window if cfg else 37,
+            key_loc=cfg.rdn_key_loc if cfg else 18)
+    elif method == "fgfa":
+        from vrdone_tpu.models.flownet import FGFADetector
+        det = FGFADetector(num_classes=num_classes, resnet_layers=layers,
+                           window=cfg.fgfa_window if cfg else 19,
+                           key_loc=cfg.fgfa_key_loc if cfg else 9)
+    else:
+        from vrdone_tpu.models.flownet import DFFDetector
+        det = DFFDetector(num_classes=num_classes, resnet_layers=layers)
+
+    from vrdone_tpu.models.detector_train import (METHOD_REF_OFFSETS,
+                                                  sample_method_refs)
+    if method == "mega":
+        n_refs = None
+    else:
+        n_refs = METHOD_REF_OFFSETS[method][2]
+        if cfg is not None and method in ("rdn", "fgfa"):
+            n_refs = getattr(cfg, f"{method}_ref_num")
 
     rng = np.random.default_rng(args.seed)
     assert args.coco_ann or args.anno_dir, \
@@ -246,17 +327,28 @@ def main():
 
     def load_coco(i):
         """COCO image mode: reference frames are copies of the key frame
-        (reference vid_mega.py:65-73)."""
+        (reference vid_mega.py:65-73 / vid_rdn.py:34-35)."""
         from PIL import Image
         path, boxes, cats_ids, _ = coco_samples[i]
         img = np.asarray(Image.open(path).convert("RGB"),
                          np.float32)[..., ::-1]
+        cats = np.asarray(cats_ids, np.int32)
+        if method != "mega":
+            return img, [img] * n_refs, [], [], boxes, cats
         return img, [img] * args.n_local, [img] * args.n_mem, \
-            [img] * args.n_glob, boxes, np.asarray(cats_ids, np.int32)
+            [img] * args.n_glob, boxes, cats
 
     def load_video(i):
         v, fid, boxes, cats = index[i]
         seg_len = len(annos[v]["trajectories"])
+        labels = np.asarray([name_to_id[c] for c in cats], np.int32)
+        if method != "mega":
+            ref_ids = sample_method_refs(rng, method, fid, seg_len,
+                                         ref_num=n_refs)
+            return (load_frame(args.frames_dir, v, fid),
+                    [load_frame(args.frames_dir, v, int(j))
+                     for j in ref_ids],
+                    [], [], boxes, labels)
         refs = sample_ref_indices(rng, fid, seg_len,
                                   n_local=args.n_local,
                                   n_mem=args.n_mem,
@@ -268,8 +360,7 @@ def main():
                  for j in refs["mem"]],
                 [load_frame(args.frames_dir, v, int(j))
                  for j in refs["glob"]],
-                boxes,
-                np.asarray([name_to_id[c] for c in cats], np.int32))
+                boxes, labels)
 
     def load_sample(i):
         if i < len(coco_samples):
@@ -301,32 +392,56 @@ def main():
         f"{'landscape' if g else 'portrait'}={len(groups[g])}"
         for g in group_keys))
 
-    def pack(img, boxes, ref_imgs, canvas_hw):
-        canvas, boxes_r, _ = resize_and_pad(img, boxes, args.min_size,
+    def pack(img, boxes, ref_imgs, canvas_hw, min_size):
+        canvas, boxes_r, _ = resize_and_pad(img, boxes, min_size,
                                             canvas_hw)
         packed = []
         for group in ref_imgs:
             cs = [resize_and_pad(r, np.zeros((0, 4), np.float32),
-                                 args.min_size, canvas_hw)[0]
+                                 min_size, canvas_hw)[0]
                   for r in group]
             packed.append(np.stack(cs) if cs else
                           np.zeros((0, *canvas_hw, 3), np.float32))
         return canvas, boxes_r, packed
 
+    # per-(aspect-group, scale) canvases: the --canvas dims correspond to
+    # the first scale in --min_sizes; other scales get proportionally
+    # scaled canvases rounded up to the 32-pixel feature-grid quantum
+    base_ms = args.min_sizes[0]
+
+    def round32(x):
+        return int(np.ceil(x / 32) * 32)
+
+    canvas_hw_of = {
+        (g, ms): tuple(round32(d * ms / base_ms) for d in canvas_of[g])
+        for g in group_keys for ms in args.min_sizes}
+    if len(args.min_sizes) > 1:
+        logger.info(f"multi-scale training: min_sizes={args.min_sizes}, "
+                    f"canvases={canvas_hw_of}")
+
     g0 = group_keys[0]
     img0, loc0, mem0, glob0, boxes0, _ = load_sample(groups[g0][0])
     canvas0, _, (locc0, memc0, globc0) = pack(img0, boxes0,
                                               [loc0, mem0, glob0],
-                                              canvas_of[g0])
+                                              canvas_of[g0], base_ms)
 
     t0 = time.time()
-    params = init_train_params(
-        det, jax.random.key(args.seed), jnp.asarray(canvas0),
-        jnp.asarray(locc0),
-        jnp.asarray(memc0) if args.n_mem else None,
-        jnp.asarray(globc0) if args.n_glob else None,
-        jnp.asarray(canvas_of[g0]),
-        post_nms_top_n=args.post_nms_top_n)
+    if method == "mega":
+        params = init_train_params(
+            det, jax.random.key(args.seed), jnp.asarray(canvas0),
+            jnp.asarray(locc0),
+            jnp.asarray(memc0) if args.n_mem else None,
+            jnp.asarray(globc0) if args.n_glob else None,
+            jnp.asarray(canvas_of[g0]),
+            post_nms_top_n=args.post_nms_top_n)
+    else:
+        from vrdone_tpu.models.detector_train import \
+            init_method_train_params
+        params = init_method_train_params(
+            method, det, jax.random.key(args.seed),
+            {"key": jnp.asarray(canvas0), "ref": jnp.asarray(locc0)},
+            jnp.asarray(canvas_of[g0]),
+            post_nms_top_n=args.post_nms_top_n)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     logger.info(f"detector params: {n_params} "
                 f"(init {time.time() - t0:.1f}s)")
@@ -359,17 +474,26 @@ def main():
         weight_decay_bias=cfg.weight_decay_bias if cfg else 0.0)
     opt_state = tx.init(params)
 
-    from vrdone_tpu.models.detector_train import make_detector_train_step
+    from vrdone_tpu.models.detector_train import (make_detector_train_step,
+                                                  make_method_train_step)
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
-    steps = {gk: make_detector_train_step(
-        det, tx, image_hw=canvas_of[gk],
-        post_nms_top_n=args.post_nms_top_n) for gk in group_keys}
+    if method == "mega":
+        steps = {key: make_detector_train_step(
+            det, tx, image_hw=canvas_hw_of[key],
+            post_nms_top_n=args.post_nms_top_n)
+            for key in canvas_hw_of}
+    else:
+        steps = {key: make_method_train_step(
+            method, det, tx, image_hw=canvas_hw_of[key],
+            post_nms_top_n=args.post_nms_top_n)
+            for key in canvas_hw_of}
     n_dev = len(jax.devices())
     n_dp = n_dev if args.batch_size % n_dev == 0 else 1
     mesh = make_mesh(n_dp=n_dp)
-    logger.info(f"batch {args.batch_size} over dp={n_dp} mesh")
+    logger.info(f"batch {args.batch_size} over dp={n_dp} mesh, "
+                f"method={method}")
 
-    def make_batch(gk):
+    def make_batch(gk, ms):
         bs = args.batch_size
         g = args.max_gt
         members = groups[gk]
@@ -389,7 +513,8 @@ def main():
                 mem_i = [r[:, ::-1] for r in mem_i]
                 glob_i = [r[:, ::-1] for r in glob_i]
             canvas, boxes_r, (locc, memc, globc) = pack(
-                img, boxes, [loc_i, mem_i, glob_i], canvas_of[gk])
+                img, boxes, [loc_i, mem_i, glob_i],
+                canvas_hw_of[(gk, ms)], ms)
             batch["key"].append(canvas)
             batch["local"].append(locc)
             batch["mem"].append(memc)
@@ -400,6 +525,10 @@ def main():
             batch["gt_valid"][i, :n] = True
         for k in ("key", "local", "mem", "glob"):
             batch[k] = np.stack(batch[k])
+        if method != "mega":
+            # key/ref contract of make_method_train_step
+            batch["ref"] = batch.pop("local")
+            del batch["mem"], batch["glob"]
         return batch
 
     start_it = 0
@@ -428,13 +557,16 @@ def main():
     t_data = time.time()
     for it in range(start_it, args.iters):
         gk = group_keys[int(rng.choice(len(group_keys), p=group_weights))]
-        batch = make_batch(gk)
+        # per-iteration scale sampling (reference MIN_SIZE_TRAIN tuple ->
+        # maskrcnn Resize random.choice, transforms/build.py:8-20)
+        ms = int(rng.choice(args.min_sizes))
+        batch = make_batch(gk, ms)
         data_time = time.time() - t_data
 
         with mesh:
             sharded = shard_batch(mesh, {k: jnp.asarray(v)
                                          for k, v in batch.items()})
-            params, opt_state, losses = steps[gk](
+            params, opt_state, losses = steps[(gk, ms)](
                 params, opt_state, sharded, jax.random.fold_in(key, it))
 
         meters.update(data_time=data_time,
@@ -463,7 +595,8 @@ def main():
                 det, params, args.val_anno_dir,
                 args.val_frames_dir or args.frames_dir,
                 name_to_id=name_to_id, min_size=args.min_size,
-                canvas=args.canvas, max_videos=args.val_videos)
+                canvas=args.canvas, max_videos=args.val_videos,
+                detect_fn=_detect_fn_of(method))
             logger.info(f"[{it + 1}] detector eval: " + "  ".join(
                 f"{k}={v:.4f}" for k, v in stats.items()))
 

@@ -96,7 +96,9 @@ def main():
     fdim = feat_channels(model_cfg)
     loader = TrainLoader(dataset, batch_size, pack_size,
                          model_cfg.max_seq_len, num_gt, fdim,
-                         seed=args.seed)
+                         seed=args.seed,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
     steps_per_epoch = loader.steps_per_epoch()
     logger.info(f"Pairs per step: {pack_size}; steps/epoch: {steps_per_epoch}")
 

@@ -66,6 +66,9 @@ class DetectorConfig:
     warmup_factor: float = 1.0 / 3
     bias_lr_factor: float = 2.0
     weight_decay_bias: float = 0.0
+    # INPUT (defaults.py:43-45; the MEGA recipes override to (600,)/1000)
+    min_size_train: tuple[int, ...] = (800,)
+    max_size_train: int = 1333
     # TEST
     detections_per_img: int = 300
 
@@ -166,13 +169,22 @@ def load_detector_config(path: str, **overrides) -> DetectorConfig:
         v = _get(raw, *p)
         if v is not None:
             up[name] = v
-    steps = _get(raw, "SOLVER", "STEPS")
-    if steps is not None:
-        if isinstance(steps, str):
+    def _tuple(v):
+        if isinstance(v, str):
             # yacs evals python-tuple strings like "(100000, )"
             import ast
-            steps = ast.literal_eval(steps)
-        up["steps"] = tuple(steps)
+            v = ast.literal_eval(v)
+        return tuple(v) if isinstance(v, (list, tuple)) else (v,)
+
+    steps = _get(raw, "SOLVER", "STEPS")
+    if steps is not None:
+        up["steps"] = _tuple(steps)
+    mst = _get(raw, "INPUT", "MIN_SIZE_TRAIN")
+    if mst is not None:
+        up["min_size_train"] = _tuple(mst)
+    mxt = _get(raw, "INPUT", "MAX_SIZE_TRAIN")
+    if mxt is not None:
+        up["max_size_train"] = int(mxt)
 
     up.update({k: v for k, v in overrides.items() if v is not None})
     return replace(cfg, **up)

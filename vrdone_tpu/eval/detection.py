@@ -368,17 +368,26 @@ def evaluate_video_detections(det, params, anno_dir: str, frames_dir: str,
                               *, name_to_id: dict, min_size: int = 600,
                               canvas=(608, 1088), max_videos: int = 5,
                               score_thresh: float = 0.05,
-                              motion_specific: bool = True) -> dict:
+                              motion_specific: bool = True,
+                              detect_fn=None) -> dict:
     """Run the detector over validation videos and compute VID mAP.
 
     Host-level sweep mirroring the reference's periodic validation
     (mega_core/engine/trainer.py:116-199 + inference.py). Returns
     {"mAP": ..., "mAP_fast"/"mAP_medium"/"mAP_slow" when motion_specific}.
+
+    detect_fn(det, params, images, image_hw) -> per-frame dict; defaults
+    to the MEGA whole-video driver — pass base_detect_video /
+    rdn_detect_video / fgfa_detect_video / dff_detect_video to validate
+    the other methods.
     """
     import json
     import os
 
     from ..models.detector import detect_video, postprocess_frame
+
+    if detect_fn is None:
+        detect_fn = detect_video
 
     gts, preds, motion = [], [], []
     videos = sorted(v[:-5] for v in os.listdir(anno_dir)
@@ -410,8 +419,8 @@ def evaluate_video_detections(det, params, anno_dir: str, frames_dir: str,
             cv[:min(nh, ch), :min(nw, cw)] = img_r[:ch, :cw]
             imgs.append(cv)
             scales.append(s)
-        out = detect_video(det, params, np.stack(imgs),
-                           np.asarray(canvas, np.float32))
+        out = detect_fn(det, params, np.stack(imgs),
+                        np.asarray(canvas, np.float32))
         for i, fid in enumerate(fids):
             res = postprocess_frame(
                 out["proposals"][i], out["cls_logits"][i],

@@ -252,6 +252,240 @@ def make_train_forward(det_module, key_image: Array, local_images: Array,
     return fwd
 
 
+# ---------------------------------------------------------------------------
+# Non-MEGA method training forwards (reference trains whichever
+# MODEL.VID.METHOD the config selects through one train_mega.py; each
+# GeneralizedRCNN* variant defines its own _forward_train)
+# ---------------------------------------------------------------------------
+
+def _rpn_on_map(m, feat_map: Array):
+    """RPN head on a (1, h, w, C) feature map -> (anchors, objectness,
+    deltas) flattened over locations x anchors."""
+    logits, deltas = m.rpn_head(feat_map)
+    hp, wp = logits.shape[1], logits.shape[2]
+    anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
+    return anchors, logits[0].reshape(-1), deltas[0].reshape(-1, 4)
+
+
+def _train_rois(anchors: Array, obj: Array, dl: Array, image_hw: Array,
+                gt_boxes: Array | None, gt_valid: Array | None, *,
+                post_nms_top_n: int):
+    """Train-time proposal selection: RPN boxes under stop_gradient plus
+    the GT boxes appended (reference add_gt_proposals,
+    mega_core/modeling/rpn/inference.py:149-151)."""
+    boxes, _, valid = rpn_lib.select_proposals(
+        anchors, jax.lax.stop_gradient(obj), jax.lax.stop_gradient(dl),
+        image_hw, pre_nms_top_n=2000, post_nms_top_n=post_nms_top_n)
+    if gt_boxes is not None:
+        boxes = jnp.concatenate([boxes, gt_boxes], axis=0)
+        valid = jnp.concatenate([valid, gt_valid], axis=0)
+    return boxes, valid
+
+
+def _losses_from_forward(out, gt_boxes, gt_labels, gt_valid, rng):
+    (anchors, obj, dl, boxes, valid, cls_logits, bbox_deltas) = out
+    r1, r2 = jax.random.split(rng)
+    losses = rpn_losses(anchors, obj, dl, gt_boxes, gt_valid, r1)
+    losses.update(box_head_losses(boxes, valid, cls_logits, bbox_deltas,
+                                  gt_boxes, gt_labels, gt_valid, r2))
+    losses["total_loss"] = sum(losses.values())
+    return losses
+
+
+def make_base_train_forward(det_module, key_image: Array, image_hw: Array,
+                            *, post_nms_top_n: int = 128,
+                            gt_boxes: Array | None = None,
+                            gt_valid: Array | None = None):
+    """Plain Faster-RCNN training forward (reference
+    generalized_rcnn.py:48-65): backbone -> RPN -> pooled head on the key
+    frame alone."""
+    def fwd(m):
+        feat = m.features(key_image[None])
+        anchors, obj, dl = _rpn_on_map(m, feat)
+        boxes, valid = _train_rois(anchors, obj, dl, image_hw, gt_boxes,
+                                   gt_valid, post_nms_top_n=post_nms_top_n)
+        pooled = m.pooled(feat[0], boxes)
+        cls_logits, bbox_deltas = m.head(pooled)
+        return anchors, obj, dl, boxes, valid, cls_logits, bbox_deltas
+    return fwd
+
+
+def make_fgfa_train_forward(det_module, key_image: Array,
+                            ref_images: Array, image_hw: Array, *,
+                            post_nms_top_n: int = 128,
+                            gt_boxes: Array | None = None,
+                            gt_valid: Array | None = None):
+    """FGFA training forward (reference generalized_rcnn_fgfa.py:107-139):
+    backbone over key+refs, flow-warp ref features onto the key frame,
+    cosine-softmax aggregate, then RPN AND box head on the AGGREGATED
+    map (the reference's rpn/roi_heads both consume `feats`)."""
+    def fwd(m):
+        feats = m.features(jnp.concatenate([key_image[None], ref_images],
+                                           axis=0))
+        agg = m.fgfa.aggregate_train(key_image[None], ref_images,
+                                     feats[:1], feats[1:])
+        anchors, obj, dl = _rpn_on_map(m, agg)
+        boxes, valid = _train_rois(anchors, obj, dl, image_hw, gt_boxes,
+                                   gt_valid, post_nms_top_n=post_nms_top_n)
+        chw = agg[0].transpose(2, 0, 1)
+        from ..ops import boxes as box_ops
+        crops = box_ops.roi_align(chw, boxes, spatial_scale=1.0 / 16,
+                                  output_size=(14, 14), sampling_ratio=2)
+        pooled = m.c5(crops.transpose(0, 2, 3, 1))
+        cls_logits, bbox_deltas = m.head(pooled)
+        return anchors, obj, dl, boxes, valid, cls_logits, bbox_deltas
+    return fwd
+
+
+def make_dff_train_forward(det_module, key_image: Array, ref_image: Array,
+                           image_hw: Array, *, post_nms_top_n: int = 128,
+                           gt_boxes: Array | None = None,
+                           gt_valid: Array | None = None):
+    """DFF training forward (reference generalized_rcnn_dff.py:92-115):
+    backbone runs on the REF frame only; flow from (cur, ref) warps the
+    ref features to the current frame, scaled by the flownet scale map;
+    RPN + box head on the propagated map. ref_image: (1, H, W, 3), the
+    single DFF ref (vid_dff.py samples one offset in [-9, 0])."""
+    def fwd(m):
+        feats_ref = m.features(ref_image)
+        prop = m.dff.propagate(key_image[None], ref_image, feats_ref)
+        anchors, obj, dl = _rpn_on_map(m, prop)
+        boxes, valid = _train_rois(anchors, obj, dl, image_hw, gt_boxes,
+                                   gt_valid, post_nms_top_n=post_nms_top_n)
+        chw = prop[0].transpose(2, 0, 1)
+        from ..ops import boxes as box_ops
+        crops = box_ops.roi_align(chw, boxes, spatial_scale=1.0 / 16,
+                                  output_size=(14, 14), sampling_ratio=2)
+        pooled = m.c5(crops.transpose(0, 2, 3, 1))
+        cls_logits, bbox_deltas = m.head(pooled)
+        return anchors, obj, dl, boxes, valid, cls_logits, bbox_deltas
+    return fwd
+
+
+def make_rdn_train_forward(det_module, key_image: Array, ref_images: Array,
+                           image_hw: Array, *, post_nms_top_n: int = 128,
+                           gt_boxes: Array | None = None,
+                           gt_valid: Array | None = None):
+    """RDN training forward (reference generalized_rcnn_rdn.py:75-106 +
+    RDNFeatureExtractor._forward_train): shared backbone over key+refs;
+    key-version proposals for the RPN objective; ref-version proposals of
+    [key, refs...] form the attention reference set; box-head losses on
+    the RDN-enhanced predictions."""
+    from .mega import BoxSet
+
+    n_r = ref_images.shape[0]
+
+    def fwd(m):
+        c4_all = m.features(jnp.concatenate([key_image[None], ref_images],
+                                            axis=0))
+        c4_key = c4_all[0]
+        anchors, obj, dl = _rpn_on_map(m, c4_key[None])
+        key_boxes, key_valid = _train_rois(
+            anchors, obj, dl, image_hw, gt_boxes, gt_valid,
+            post_nms_top_n=post_nms_top_n)
+
+        def ref_set(c4):
+            b, _, v = m.propose(c4, image_hw,
+                                post_nms_top_n=det_module.base_num)
+            b = jax.lax.stop_gradient(b)
+            return m.frame_fc0(c4, b, v), b, v
+
+        # frame-major (F, B, ...) window — RDNHead.enhance flattens
+        # internally (and needs the per-frame layout for the advanced
+        # distillation stage's first-advanced_num-per-frame selection)
+        rf, rb, rv = jax.vmap(ref_set)(c4_all[:1 + n_r])
+        window = BoxSet(rf, rb, rv)
+
+        key_pooled = m.box_head.pooled_features(c4_key, key_boxes)
+        x = m.rdn.enhance(key_pooled, key_boxes, key_valid, window)
+        cls_logits, bbox_deltas = m.box_head.predictions(x)
+        return anchors, obj, dl, key_boxes, key_valid, cls_logits, \
+            bbox_deltas
+    return fwd
+
+
+_METHOD_FORWARDS = {
+    "base": lambda det, s, hw, **kw: make_base_train_forward(
+        det, s["key"], hw, **kw),
+    "fgfa": lambda det, s, hw, **kw: make_fgfa_train_forward(
+        det, s["key"], s["ref"], hw, **kw),
+    "dff": lambda det, s, hw, **kw: make_dff_train_forward(
+        det, s["key"], s["ref"], hw, **kw),
+    "rdn": lambda det, s, hw, **kw: make_rdn_train_forward(
+        det, s["key"], s["ref"], hw, **kw),
+}
+
+
+def method_detector_losses(method: str, det_module, params, sample: dict,
+                           image_hw: Array, gt_boxes: Array,
+                           gt_labels: Array, gt_valid: Array, rng: Array,
+                           *, post_nms_top_n: int = 128) -> dict:
+    """Per-image training losses for the base/rdn/fgfa/dff methods.
+    sample: {"key": (H, W, 3)} plus {"ref": (R, H, W, 3)} where the
+    method consumes reference frames. (MEGA keeps its dedicated
+    mega_detector_losses — its sample carries three reference kinds.)"""
+    fwd = _METHOD_FORWARDS[method](det_module, sample, image_hw,
+                                   post_nms_top_n=post_nms_top_n,
+                                   gt_boxes=gt_boxes, gt_valid=gt_valid)
+    out = det_module.apply(params, method=fwd)
+    return _losses_from_forward(out, gt_boxes, gt_labels, gt_valid, rng)
+
+
+def init_method_train_params(method: str, det_module, rng_key,
+                             sample: dict, image_hw: Array, *,
+                             post_nms_top_n: int = 128):
+    """Init all parameters of a base/rdn/fgfa/dff detector by tracing the
+    training forward (jitted — eager flax init is pathologically slow on
+    a 1-core host)."""
+    fwd = _METHOD_FORWARDS[method](det_module, sample, image_hw,
+                                   post_nms_top_n=post_nms_top_n)
+    return jax.jit(lambda k: det_module.init(k, method=fwd))(rng_key)
+
+
+def make_method_train_step(method: str, det_module, tx, *, image_hw,
+                           post_nms_top_n: int = 128):
+    """Jitted dp-mesh train step for the base/rdn/fgfa/dff methods.
+
+    batch dict: key (B,H,W,3), ref (B,R,H,W,3) (absent/ignored for
+    base), gt_boxes (B,G,4), gt_labels (B,G), gt_valid (B,G). The batch
+    leading axis shards over the mesh "dp" axis; XLA inserts the
+    gradient all-reduce (reference: one sample per DDP rank)."""
+    import optax
+
+    if method == "mega":
+        return make_detector_train_step(det_module, tx, image_hw=image_hw,
+                                        post_nms_top_n=post_nms_top_n)
+    hw = jnp.asarray(image_hw)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        b = batch["key"].shape[0]
+
+        def loss_fn(params):
+            def one(key_img, ref, gtb, gtl, gtv, k):
+                sample = {"key": key_img, "ref": ref}
+                return method_detector_losses(
+                    method, det_module, params, sample, hw, gtb, gtl,
+                    gtv, k, post_nms_top_n=post_nms_top_n)
+            keys = jax.random.split(rng, b)
+            ref = batch.get("ref")
+            if ref is None:
+                ref = jnp.zeros((b, 0) + batch["key"].shape[1:],
+                                batch["key"].dtype)
+            losses = jax.vmap(one)(batch["key"], ref, batch["gt_boxes"],
+                                   batch["gt_labels"], batch["gt_valid"],
+                                   keys)
+            mean = jax.tree.map(jnp.mean, losses)
+            return mean["total_loss"], mean
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return step
+
+
 def init_train_params(det_module, rng_key, key_image: Array,
                       local_images: Array, mem_images: Array | None,
                       glob_images: Array | None, image_hw: Array, *,
@@ -285,9 +519,12 @@ def graft_backbone(params, backbone_pkl: dict):
 
     inner = dict(params["params"])
     inner["backbone"] = transplant(inner["backbone"], backbone_pkl["c4"])
-    box_head = dict(inner["box_head"])
-    box_head["c5"] = transplant(box_head["c5"], backbone_pkl["c5"])
-    inner["box_head"] = box_head
+    if "box_head" in inner:          # mega / rdn compositions
+        box_head = dict(inner["box_head"])
+        box_head["c5"] = transplant(box_head["c5"], backbone_pkl["c5"])
+        inner["box_head"] = box_head
+    elif "c5" in inner:              # base / fgfa / dff compositions
+        inner["c5"] = transplant(inner["c5"], backbone_pkl["c5"])
     return {**params, "params": inner}
 
 
@@ -350,6 +587,30 @@ def make_detector_train_step(det_module, tx, *, image_hw,
         return params, opt_state, losses
 
     return step
+
+
+METHOD_REF_OFFSETS = {
+    # method: (min_offset, max_offset, ref_num) — reference defaults.py
+    "rdn": (-18, 18, 2),    # VID.RDN (:419-424)
+    "fgfa": (-9, 9, 2),     # VID.FGFA (:453-458)
+    "dff": (-9, 0, 1),      # VID.DFF (:462-463, one ref frame)
+    "base": (0, 0, 0),
+}
+
+
+def sample_method_refs(rng: np.random.Generator, method: str,
+                       frame_id: int, seg_len: int,
+                       ref_num: int | None = None) -> np.ndarray:
+    """Reference-frame sampling for the non-MEGA methods (reference
+    vid_rdn/vid_fgfa/vid_dff.py _get_train: offsets chosen without
+    replacement in [MIN_OFFSET, MAX_OFFSET], clamped to the segment)."""
+    lo, hi, n = METHOD_REF_OFFSETS[method]
+    if ref_num is not None:
+        n = ref_num
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    offsets = rng.choice(hi - lo + 1, size=n, replace=False) + lo
+    return np.clip(frame_id + offsets, 0, seg_len - 1)
 
 
 def sample_ref_indices(rng: np.random.Generator, frame_id: int,

@@ -129,6 +129,130 @@ class RDNHead(nn.Module):
                             BoxSet(window_feat, window_rois, window_valid))
 
 
+class RDNDetector(nn.Module):
+    """Full RDN video detector (reference GeneralizedRCNNRDN): ResNet-C4
+    backbone + RPN + RDN relation head over sliding-window reference
+    proposals, predictions on the enhanced 1024-d features. Same
+    composition pattern as models/detector.py::MegaDetector (pool on C4
+    -> C5 on crops -> head), no memory/global machinery."""
+    num_classes: int
+    resnet_layers: tuple[int, ...] = (3, 4, 23)
+    base_stage: int = 2
+    advanced_stage: int = 0
+    groups: int = 16
+    base_num: int = 75
+    ratio: float = 0.2
+    window: int = 37          # RDN.ALL_FRAME_INTERVAL (defaults.py:421)
+    key_loc: int = 18         # RDN.KEY_FRAME_LOCATION
+    stride_in_1x1: bool = False
+
+    @property
+    def advanced_num(self) -> int:
+        return max(1, int(self.base_num * self.ratio))
+
+    def setup(self):
+        from . import rpn as rpn_lib
+        from .detector import BoxHead, PIXEL_MEAN
+        self._pixel_mean = PIXEL_MEAN
+        from .resnet import ResNetC4
+        self.backbone = ResNetC4(self.resnet_layers,
+                                 stride_in_1x1=self.stride_in_1x1,
+                                 name="backbone")
+        self.rpn_head = rpn_lib.RPNHead(name="rpn")
+        self.box_head = BoxHead(self.num_classes,
+                                stride_in_1x1=self.stride_in_1x1,
+                                name="box_head")
+        self.rdn = RDNHead(base_stage=self.base_stage,
+                           advanced_stage=self.advanced_stage,
+                           groups=self.groups,
+                           advanced_num=self.advanced_num,
+                           name="rdn")
+
+    def features(self, images: Array) -> Array:
+        return self.backbone(images - self._pixel_mean)
+
+    def propose(self, c4_feat: Array, image_hw: Array, *,
+                pre_nms_top_n: int = 6000, post_nms_top_n: int = 300):
+        from . import rpn as rpn_lib
+        logits, deltas = self.rpn_head(c4_feat[None])
+        hp, wp = logits.shape[1], logits.shape[2]
+        anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
+        return rpn_lib.select_proposals(
+            anchors, logits[0].reshape(-1), deltas[0].reshape(-1, 4),
+            image_hw, pre_nms_top_n=pre_nms_top_n,
+            post_nms_top_n=post_nms_top_n)
+
+    def frame_fc0(self, c4_feat: Array, rois: Array, valid: Array) -> Array:
+        """fc0-level reference features for one frame (the reference
+        `pre_calculate=True` path, roi_box_feature_extractors.py:399-410).
+        """
+        pooled = self.box_head.pooled_features(c4_feat, rois)
+        x = self.rdn.pre_calculate(pooled)
+        return x * valid[:, None].astype(x.dtype)
+
+    def enhance(self, key_pooled, key_rois, key_valid, window: BoxSet):
+        return self.rdn.enhance(key_pooled, key_rois, key_valid, window)
+
+    def predictions(self, enhanced: Array):
+        return self.box_head.predictions(enhanced)
+
+
+def rdn_detect_video(det: RDNDetector, params, images, image_hw, *,
+                     key_post_nms: int = 300):
+    """Whole-video RDN detection (reference generalized_rcnn_rdn.py
+    _forward_test): batched per-frame precompute (proposals + fc0
+    features), then one lax.scan over the deque-equivalent sliding
+    window. images: (T, H, W, 3) array or indexable frame sequence."""
+    t_total = len(images)
+    hw = jnp.asarray(image_hw)
+
+    @jax.jit
+    def precompute(params, image):
+        def fwd(m):
+            c4 = m.features(image[None])[0]
+            kb, ks, kv = m.propose(c4, hw, post_nms_top_n=key_post_nms)
+            key_pooled = m.box_head.pooled_features(c4, kb)
+            key_pooled = key_pooled * kv[:, None].astype(key_pooled.dtype)
+            if key_post_nms >= det.base_num:
+                rb, rv = kb[:det.base_num], kv[:det.base_num]
+                ref_fc0 = m.rdn.pre_calculate(key_pooled[:det.base_num])
+                ref_fc0 = ref_fc0 * rv[:, None].astype(ref_fc0.dtype)
+            else:
+                rb, _, rv = m.propose(c4, hw,
+                                      post_nms_top_n=det.base_num)
+                ref_fc0 = m.frame_fc0(c4, rb, rv)
+            return kb, ks, kv, key_pooled, rb, rv, ref_fc0
+        return det.apply(params, method=fwd)
+
+    outs = [precompute(params, jnp.asarray(np.ascontiguousarray(images[t])))
+            for t in range(t_total)]
+    kb, ks, kv, kp, rb, rv, rf = (jnp.stack([o[i] for o in outs])
+                                  for i in range(7))
+
+    head = RDNHead(base_stage=det.base_stage,
+                   advanced_stage=det.advanced_stage, groups=det.groups,
+                   advanced_num=det.advanced_num)
+    visual = stream_video_rdn(
+        head, {"params": params["params"]["rdn"]},
+        key_pooled=kp, key_rois=kb, key_valid=kv,
+        ref_feat=rf, ref_rois=rb, ref_valid=rv,
+        window=det.window, key_loc=det.key_loc)
+
+    @jax.jit
+    def predict(params, v):
+        return det.apply(params, v,
+                         method=lambda m, x: m.predictions(x))
+
+    cls_logits, bbox_deltas = predict(params, visual.reshape(
+        -1, visual.shape[-1]))
+    nk = kb.shape[1]
+    return {"proposals": np.asarray(kb), "proposal_scores": np.asarray(ks),
+            "valid": np.asarray(kv),
+            "cls_logits": np.asarray(cls_logits).reshape(t_total, nk, -1),
+            "bbox_deltas": np.asarray(bbox_deltas).reshape(t_total, nk, -1),
+            "visual": np.asarray(visual)}
+
+
 def stream_video_rdn(head: RDNHead, params, *, key_pooled: Array,
                      key_rois: Array, key_valid: Array, ref_feat: Array,
                      ref_rois: Array, ref_valid: Array, window: int = 37,

@@ -38,9 +38,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    Single-process: `batch` is the full global batch (device_put splits
+    it over the local devices). Multi-process (a real pod slice or the
+    2-process CPU world of tests/test_multihost.py): `batch` is this
+    process's LOCAL shard only — rows [rank*local_bs, (rank+1)*local_bs)
+    of the global batch, matching the mesh's process-major device order —
+    and the global array is assembled without any host ever materialising
+    the full batch (the reference equivalent is per-rank
+    DistributedSampler subsets, reference train.py:77-83)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """The rows of the global batch this process must produce for
+    shard_batch (contiguous process-major chunking, matching
+    make_mesh's jax.devices() order)."""
+    n = jax.process_count()
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    local = global_batch_size // n
+    r = jax.process_index()
+    return slice(r * local, (r + 1) * local)
 
 
 def tp_shardings(mesh: Mesh, params, min_size: int = 1 << 16):
