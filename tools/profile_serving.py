@@ -1,0 +1,127 @@
+"""On-chip detect_video phase breakdown (VERDICT r2 item 6).
+
+Times the three serving phases separately — per-frame precompute
+(backbone + RPN + fc0), the streaming MEGA scan, and the prediction
+head — on a synthetic video at the production shape (608x1088 canvas,
+300 key / 75 ref proposals), and optionally writes an xplane trace.
+
+Usage:
+    python tools/profile_serving.py [--frames 30] [--trace_dir /tmp/xp]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import vrdone_tpu.utils.compilation_cache  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
+    p.add_argument("--trace_dir", default=None)
+    p.add_argument("--num_classes", type=int, default=31)
+    args = p.parse_args()
+
+    from vrdone_tpu.models.detector import (MegaDetector, _precompute_jit,
+                                            _predict_jit, make_mega_head)
+    from vrdone_tpu.models.mega import global_indices, stream_video
+
+    det = MegaDetector(num_classes=args.num_classes)
+    h, w = args.canvas
+    t_total = args.frames
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (t_total, h, w, 3)).astype(np.float32)
+    hw = jnp.asarray((h, w), jnp.float32)
+
+    sample = jnp.asarray(images[0])
+    run = _precompute_jit(det, 300)
+
+    # init the full param tree by tracing the precompute + head once
+    def full_init(k, img):
+        def fwd(m):
+            c4 = m.features(img[None])[0]
+            kb, ks, kv = m.propose(c4, hw, post_nms_top_n=300)
+            fc0 = m.frame_fc0(c4, kb, kv)
+            enhanced = m.mega(fc0, kb, kv, fc0[:det.base_num],
+                              kb[:det.base_num], kv[:det.base_num])
+            return m.box_head.predictions(enhanced)
+        return det.init(k, method=fwd)
+    params = jax.jit(full_init)(jax.random.key(0), sample)
+
+    def phase_precompute():
+        outs = [run(params, jnp.asarray(images[t]), hw)
+                for t in range(t_total)]
+        jax.block_until_ready(outs[-1])
+        return outs
+
+    outs = phase_precompute()           # compile
+    t0 = time.perf_counter()
+    outs = phase_precompute()
+    pre_s = time.perf_counter() - t0
+
+    kb, kv, ks, kf, rb, rv, rf = (jnp.stack([o[i] for o in outs])
+                                  for i in range(7))
+    glob_idx = global_indices(t_total, min(det.global_size, t_total))
+
+    head = make_mega_head(det)
+    hp = {"params": params["params"]["mega"]}
+
+    def phase_stream():
+        v = stream_video(head, hp, key_feat=kf, key_rois=kb, key_valid=kv,
+                         key_is_fc0=True, ref_feat=rf, ref_rois=rb,
+                         ref_valid=rv, mem_size=det.window,
+                         window=det.window, key_loc=det.key_loc,
+                         glob_idx=glob_idx)
+        jax.block_until_ready(v)
+        return v
+
+    visual = phase_stream()             # compile
+    t0 = time.perf_counter()
+    visual = phase_stream()
+    stream_s = time.perf_counter() - t0
+
+    predict = _predict_jit(det)
+
+    def phase_predict():
+        out = predict(params, visual.reshape(-1, 1024))
+        jax.block_until_ready(out)
+        return out
+
+    phase_predict()                     # compile
+    t0 = time.perf_counter()
+    phase_predict()
+    pred_s = time.perf_counter() - t0
+
+    tot = pre_s + stream_s + pred_s
+    print(json.dumps({
+        "frames": t_total,
+        "precompute_ms_per_frame": round(pre_s / t_total * 1e3, 2),
+        "stream_ms_per_frame": round(stream_s / t_total * 1e3, 2),
+        "predict_ms_per_frame": round(pred_s / t_total * 1e3, 2),
+        "total_ms_per_frame": round(tot / t_total * 1e3, 2),
+        "frames_per_sec": round(t_total / tot, 2)}), flush=True)
+
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
+        phase_precompute()
+        phase_stream()
+        phase_predict()
+        jax.profiler.stop_trace()
+        print(json.dumps({"trace_dir": args.trace_dir}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

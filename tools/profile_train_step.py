@@ -48,7 +48,10 @@ def build_batch(cfg, c, p, g=9):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def measure(cfg, c, pairs, trace_dir=None, n_iter=20):
+def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None):
+    if dtype:
+        from dataclasses import replace
+        cfg = replace(cfg, compute_dtype=dtype)
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
     from vrdone_tpu.train.loop import (commit_state, create_train_state,
                                        make_jitted_train_step)
@@ -110,6 +113,8 @@ def main():
     p.add_argument("--pairs", type=int, nargs="+", default=[24, 96])
     p.add_argument("--trace_dir", default=None)
     p.add_argument("--trace_pairs", type=int, default=96)
+    p.add_argument("--dtype", default=None,
+                   help="override cfg.compute_dtype (e.g. bfloat16)")
     args = p.parse_args()
 
     import __graft_entry__ as g
@@ -118,7 +123,9 @@ def main():
     for pairs in args.pairs:
         td = (args.trace_dir if args.trace_dir
               and pairs == args.trace_pairs else None)
-        rec = measure(cfg, c, pairs, trace_dir=td)
+        rec = measure(cfg, c, pairs, trace_dir=td, dtype=args.dtype)
+        if args.dtype:
+            rec["compute_dtype"] = args.dtype
         print(json.dumps(rec), flush=True)
 
 

@@ -1,28 +1,44 @@
-"""Jittable batched Hungarian assignment.
+"""Jittable batched optimal assignment.
 
 The reference ships every cost matrix to the CPU each training step and runs
 scipy's linear_sum_assignment (reference models/maskvrd.py:489-492) — a
 device->host sync in the hot loop. Here the assignment runs *inside* the
-jitted step: an O(n^3) shortest-augmenting-path Hungarian (potentials /
-Jonker-Volgenant style, the same algorithm family as scipy's) written with
-lax control flow and vmapped over the batch. Problem sizes are tiny
-(num_queries x max_gt <= ~10x10), so this is microseconds on-device.
+jitted step, by one of two exact algorithms:
 
-Convention: cost is (n, n) square, minimized. Rectangular (Q, G) problems
-are padded by the caller with a large constant in the invalid columns; the
-resulting assignment restricted to valid columns equals the rectangular
-optimum because the padding is column-constant.
+* `match_padded` (the hot path): for G <= _DP_MAX_COLS ground-truth slots
+  a subset DP over column sets — dp[S] = min cost matching columns S with
+  the rows seen so far, rows may be skipped. O(Q * 2^G * G) dense vector
+  work with NO data-dependent control flow: on TPU this is a handful of
+  fused gather/min ops per row, fully batched under vmap. The previous
+  shortest-augmenting-path Hungarian used `lax.while_loop`s whose tiny
+  sequential bodies measured 10.8 ms/step = 26% of the b96 VidVRD train
+  step (xplane 2026-08-17); fixed-trip scans and full unrolls of the same
+  algorithm were even slower (22/31 ms) — the augmenting-path family is
+  intrinsically serial and scatter-heavy, so the fix is a different
+  algorithm, not a different lowering. The DP dropped the matcher below
+  trace noise.
+
+* `hungarian_square`: O(n^3) shortest-augmenting-path Hungarian
+  (potentials / Jonker-Volgenant, the same family as scipy's) with lax
+  while loops — kept for square problems too large for the DP.
+
+Both minimize; ties may resolve differently from scipy (any optimum is
+valid for Hungarian-matched training losses).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Array = jax.Array
 
 _INF = jnp.float32(1e18)
+
+# 2^G * G * 4 bytes per lane of DP state; 12 -> 196 KB/lane, still fine
+_DP_MAX_COLS = 12
 
 
 def hungarian_square(cost: Array) -> Array:
@@ -91,21 +107,81 @@ def hungarian_square(cost: Array) -> Array:
     return p[:n]
 
 
+def _subset_dp_match(cost: Array) -> Array:
+    """Exact rectangular assignment by DP over column subsets.
+
+    cost: (Q, G) float32, Q >= G. Every column must be matched to a distinct
+    row; rows may be left unmatched. Returns row_for_col: (G,) int32.
+
+    Forward: dp[S] = min cost of matching exactly the column set S using the
+    rows processed so far. Per row i:
+        dp'[S] = min(dp[S], min_{j in S} dp[S \\ {j}] + cost[i, j])
+    — one static gather + add + min over a (G, 2^G) block. Backward: from
+    S = full set, re-evaluate the same options per row in reverse and take
+    argmin (bit-identical float ops, so the argmin choice always lies on an
+    optimal path).
+    """
+    q, g = cost.shape
+    n_states = 1 << g
+    states = np.arange(n_states)
+    has_bit_np = np.zeros((g, n_states), bool)
+    idx_without_np = np.zeros((g, n_states), np.int32)
+    for j in range(g):
+        bit = 1 << j
+        has_bit_np[j] = (states & bit) != 0
+        idx_without_np[j] = states & ~bit
+    has_bit = jnp.asarray(has_bit_np)
+    idx_without = jnp.asarray(idx_without_np)
+    cost = cost.astype(jnp.float32)
+
+    def row_step(dp, ci):
+        cand = dp[idx_without] + ci[:, None]         # (g, n_states)
+        cand = jnp.where(has_bit, cand, _INF)
+        return jnp.minimum(dp, jnp.min(cand, axis=0)), dp
+
+    dp0 = jnp.full((n_states,), _INF).at[0].set(0.0)
+    _, dp_hist = lax.scan(row_step, dp0, cost)       # dp_hist[i] = dp before row i
+
+    def back_step(carry, xs):
+        s, rfc = carry
+        dp_i, ci, i = xs
+        sub = idx_without[:, s]                      # (g,)
+        match_cost = jnp.where(has_bit[:, s], dp_i[sub] + ci, _INF)
+        opts = jnp.concatenate([match_cost, dp_i[s][None]])
+        choice = jnp.argmin(opts).astype(jnp.int32)
+        is_match = choice < g
+        jj = jnp.minimum(choice, g - 1)
+        rfc = rfc.at[jj].set(jnp.where(is_match, i, rfc[jj]))
+        s = jnp.where(is_match, s & ~jnp.left_shift(1, jj), s)
+        return (s, rfc), None
+
+    rows = jnp.arange(q - 1, -1, -1, dtype=jnp.int32)
+    (_, row_for_col), _ = lax.scan(
+        back_step, (jnp.int32(n_states - 1), jnp.zeros((g,), jnp.int32)),
+        (dp_hist[rows], cost[rows], rows))
+    return row_for_col
+
+
 def match_padded(cost: Array, col_valid: Array) -> tuple[Array, Array]:
     """Assignment for a (Q, G) cost with a validity mask over columns.
 
-    Pads to square (Q >= G required), solves, and returns
-    (row_for_col: (G,) int32, matched: (G,) bool) where matched marks valid
-    columns (invalid columns receive arbitrary rows; callers must gate on
-    `matched`).
+    Returns (row_for_col: (G,) int32, matched: (G,) bool) where matched marks
+    valid columns (invalid columns receive arbitrary rows; callers must gate
+    on `matched`).
     """
     q, g = cost.shape
     assert q >= g, "num_queries must be >= max ground-truth slots"
+    cost = jnp.nan_to_num(cost, nan=0.0, posinf=0.0, neginf=0.0)
+    if g <= _DP_MAX_COLS:
+        # Invalid columns: any row-constant cost leaves the valid-column
+        # optimum unchanged (they soak up leftover rows); 0 keeps magnitudes
+        # small for the f32 running sums.
+        cost = jnp.where(col_valid[None, :], cost, 0.0)
+        return _subset_dp_match(cost), col_valid
     # Pad with a *data-derived* constant just above the real cost range.
     # A huge sentinel (1e6+) would push the dual potentials to that scale
     # and erase small cost differences via f32 cancellation in
     # (cost - u - v); observed as suboptimal assignments.
-    cost = jnp.nan_to_num(cost, nan=0.0, posinf=0.0, neginf=0.0)
     finite_max = jnp.max(jnp.where(col_valid[None, :], cost, -jnp.inf))
     finite_max = jnp.where(jnp.isfinite(finite_max), finite_max, 0.0)
     big = finite_max + 1.0
