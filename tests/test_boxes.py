@@ -6,6 +6,7 @@ with torchvision's aligned=False sampling semantics)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vrdone_tpu.ops import boxes as B
@@ -103,6 +104,42 @@ def test_nms_max_out():
     full = np_nms(boxes, scores, 0.5)
     np.testing.assert_array_equal(
         np.asarray(keep_idx)[np.asarray(keep_valid)], full[:5])
+
+
+@pytest.mark.parametrize("seed,thr", [(0, 0.5), (1, 0.3)])
+def test_nms_multiblock_chains(seed, thr):
+    """Blocked NMS == greedy oracle across block boundaries: 1000 boxes
+    crowded into a small canvas (long suppression chains + resurrection,
+    where a suppressed suppressor un-suppresses a later box), block=64
+    so ~16 blocks are exercised."""
+    rng = np.random.default_rng(seed)
+    # crowded: centers in a 100x100 region, sizes 10-40 -> heavy overlap
+    cx = rng.uniform(20, 120, (1000, 1))
+    cy = rng.uniform(20, 120, (1000, 1))
+    w = rng.uniform(10, 40, (1000, 1))
+    h = rng.uniform(10, 40, (1000, 1))
+    boxes = np.concatenate([cx - w / 2, cy - h / 2, cx + w / 2,
+                            cy + h / 2], 1).astype(np.float32)
+    scores = rng.random(1000).astype(np.float32)
+    keep_idx, keep_valid = B.nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                 thr, block=64)
+    ours = np.asarray(keep_idx)[np.asarray(keep_valid)]
+    np.testing.assert_array_equal(ours, np_nms(boxes, scores, thr))
+
+
+def test_nms_vmapped_frames():
+    """vmap over a frame axis (the chunked serving RPN) matches
+    per-frame results."""
+    rng = np.random.default_rng(7)
+    boxes = np.stack([rand_boxes(rng, 128) for _ in range(4)])
+    scores = rng.random((4, 128)).astype(np.float32)
+    f = jax.vmap(lambda b, s: B.nms(b, s, 0.5, max_out=20, block=32))
+    vi, vv = f(jnp.asarray(boxes), jnp.asarray(scores))
+    for t in range(4):
+        ki, kv = B.nms(jnp.asarray(boxes[t]), jnp.asarray(scores[t]),
+                       0.5, max_out=20, block=32)
+        np.testing.assert_array_equal(np.asarray(vi[t]), np.asarray(ki))
+        np.testing.assert_array_equal(np.asarray(vv[t]), np.asarray(kv))
 
 
 def test_nms_neg_inf_scores_excluded():
