@@ -148,6 +148,11 @@ class MEGAHead(nn.Module):
     memory_enable: bool = True
     global_enable: bool = True
     advanced_num: int = 15   # distilled proposals per frame (base_num*RATIO)
+    # serving-only: compute the geometric bias with the fused pallas
+    # kernel (ops/pallas/position_bias.py) instead of materialising the
+    # (N, M, embed_dim) embedding in HBM. Forward-only (no VJP) — keep
+    # False for training; parameter tree is identical either way.
+    fused_pe_bias: bool = False
 
     def setup(self):
         fd, g = self.feat_dim, self.groups
@@ -202,9 +207,18 @@ class MEGAHead(nn.Module):
 
         if ver != "global":
             # log-added geometric bias through Wg (reference :592-597,:630)
-            pe = cal_position_embedding(rois, ref.rois, self.embed_dim)
-            wg = jax.nn.relu(self.l_Wgs[index](pe))              # (N, M, g)
-            aff = aff + jnp.log(wg + 1e-6).transpose(2, 0, 1)
+            if self.fused_pe_bias and not self.is_initializing():
+                from vrdone_tpu.ops.pallas.position_bias import (
+                    fused_position_bias)
+                wg_p = self.l_Wgs[index].variables["params"]
+                aff = aff + fused_position_bias(
+                    rois, ref.rois, wg_p["kernel"], wg_p["bias"],
+                    embed_dim=self.embed_dim,
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                pe = cal_position_embedding(rois, ref.rois, self.embed_dim)
+                wg = jax.nn.relu(self.l_Wgs[index](pe))          # (N, M, g)
+                aff = aff + jnp.log(wg + 1e-6).transpose(2, 0, 1)
 
         aff = jnp.where(ref.valid[None, None, :], aff, NEG_INF)
         att = jax.nn.softmax(aff, axis=-1)                       # (g, N, M)
