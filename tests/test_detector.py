@@ -94,6 +94,14 @@ def test_detect_video_end_to_end():
     diff = np.abs(out2["cls_logits"][3] - out["cls_logits"][3]).max()
     assert diff > 1e-6, "later-frame detections ignore earlier frames"
 
+    # fused pallas position bias (the default above) == dense composition
+    out_dense = detect_video(det, params, images, hw, key_post_nms=8,
+                             fused_pe_bias=False)
+    np.testing.assert_allclose(out["cls_logits"], out_dense["cls_logits"],
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(out["visual"], out_dense["visual"],
+                               rtol=1e-3, atol=2e-3)
+
 
 @pytest.mark.slow
 def test_gt_feature_extraction_path():

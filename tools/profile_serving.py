@@ -32,10 +32,12 @@ def main():
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
     p.add_argument("--trace_dir", default=None)
+    p.add_argument("--chunk", type=int, default=4)
     p.add_argument("--num_classes", type=int, default=31)
     args = p.parse_args()
 
-    from vrdone_tpu.models.detector import (MegaDetector, _precompute_jit,
+    from vrdone_tpu.models.detector import (MegaDetector,
+                                            _precompute_chunk_jit,
                                             _predict_jit, make_mega_head)
     from vrdone_tpu.models.mega import global_indices, stream_video
 
@@ -43,27 +45,28 @@ def main():
     h, w = args.canvas
     t_total = args.frames
     rng = np.random.default_rng(0)
-    images = rng.integers(0, 255, (t_total, h, w, 3)).astype(np.float32)
+    # uint8 transfer: serving sends raw frames at 1 byte/px (cast to f32
+    # + mean-subtract happen on device in MegaDetector.features)
+    images = rng.integers(0, 255, (t_total, h, w, 3)).astype(np.uint8)
     hw = jnp.asarray((h, w), jnp.float32)
 
     sample = jnp.asarray(images[0])
-    run = _precompute_jit(det, 300)
+    chunk = min(args.chunk, t_total)
+    run = _precompute_chunk_jit(det, 300, chunk)
 
-    # init the full param tree by tracing the precompute + head once
-    def full_init(k, img):
-        def fwd(m):
-            c4 = m.features(img[None])[0]
-            kb, ks, kv = m.propose(c4, hw, post_nms_top_n=300)
-            fc0 = m.frame_fc0(c4, kb, kv)
-            enhanced = m.mega(fc0, kb, kv, fc0[:det.base_num],
-                              kb[:det.base_num], kv[:det.base_num])
-            return m.box_head.predictions(enhanced)
-        return det.init(k, method=fwd)
-    params = jax.jit(full_init)(jax.random.key(0), sample)
+    from tools.detect_and_track import init_detector_params
+    params = init_detector_params(det, np.asarray(sample), hw,
+                                  key_post_nms=300)
 
     def phase_precompute():
-        outs = [run(params, jnp.asarray(images[t]), hw)
-                for t in range(t_total)]
+        outs = []
+        for lo in range(0, t_total, chunk):
+            hi = min(lo + chunk, t_total)
+            imgs = images[lo:hi]
+            if hi - lo < chunk:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], chunk - (hi - lo), axis=0)])
+            outs.append(run(params, jnp.asarray(imgs), hw))
         jax.block_until_ready(outs[-1])
         return outs
 
@@ -72,11 +75,11 @@ def main():
     outs = phase_precompute()
     pre_s = time.perf_counter() - t0
 
-    kb, kv, ks, kf, rb, rv, rf = (jnp.stack([o[i] for o in outs])
-                                  for i in range(7))
+    kb, kv, ks, kf, rb, rv, rf = (
+        jnp.concatenate([o[i] for o in outs])[:t_total] for i in range(7))
     glob_idx = global_indices(t_total, min(det.global_size, t_total))
 
-    head = make_mega_head(det)
+    head = make_mega_head(det, fused_pe_bias=True)
     hp = {"params": params["params"]["mega"]}
 
     def phase_stream():

@@ -125,8 +125,10 @@ class MegaDetector(nn.Module):
 
     def features(self, images: Array) -> Array:
         """images: (N, H, W, 3) raw pixels -> C4 features (N, H/16, W/16,
-        C). Mean subtraction happens here (BGR channel order expected)."""
-        x = images - PIXEL_MEAN
+        C). Mean subtraction happens here (BGR channel order expected).
+        uint8 input is fine — serving transfers frames at 1 byte/px over
+        the host->device link and casts here."""
+        x = images.astype(jnp.float32) - PIXEL_MEAN
         return self.backbone(x)
 
     def propose(self, c4_feat: Array, image_hw: Array, *,
@@ -160,15 +162,18 @@ class MegaDetector(nn.Module):
         return self.box_head.predictions(enhanced)
 
 
-def make_mega_head(det: MegaDetector, name: str | None = None) -> MEGAHead:
+def make_mega_head(det: MegaDetector, name: str | None = None,
+                   fused_pe_bias: bool = False) -> MEGAHead:
     """The MEGAHead matching a detector's knobs — standalone (unbound)
-    construction for the streaming scan."""
+    construction for the streaming scan. fused_pe_bias switches the
+    geometric bias to the pallas kernel (serving-only; same params)."""
     return MEGAHead(
         feat_dim=1024, groups=det.groups, stage=det.stage,
         global_res_stage=det.global_res_stage,
         global_enable=det.global_enable,
         memory_enable=det.memory_enable,
-        advanced_num=det.advanced_num, name=name)
+        advanced_num=det.advanced_num, name=name,
+        fused_pe_bias=fused_pe_bias)
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +220,44 @@ def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int):
+    """Chunked per-frame precompute: `chunk` frames per dispatch.
+
+    The per-frame variant above pays one host->device image transfer and
+    one program dispatch per frame; over the remote-TPU link that
+    serialized transfer+roundtrip — not device compute — bounded
+    detect_video (DEVNOTES serving analysis). Batching frames amortizes
+    both, and the backbone/RoI work is embarrassingly parallel across
+    frames anyway."""
+
+    @jax.jit
+    def run(params, images, image_hw):
+        def fwd(m):
+            c4 = m.features(images)            # (F, H/16, W/16, C)
+
+            def per_frame(c4f):
+                kb, ks, kv = m.propose(c4f, image_hw,
+                                       post_nms_top_n=key_post_nms)
+                key_fc0 = m.frame_fc0(c4f, kb, kv)
+                if key_post_nms >= det.base_num:
+                    # greedy NMS keeps are score-sorted and prefix-stable
+                    # in max_out, so the ref set (top base_num) is exactly
+                    # the key set's prefix
+                    rb, rv = kb[:det.base_num], kv[:det.base_num]
+                    ref_fc0 = key_fc0[:det.base_num]
+                else:
+                    rb, _, rv = m.propose(c4f, image_hw,
+                                          post_nms_top_n=det.base_num)
+                    ref_fc0 = m.frame_fc0(c4f, rb, rv)
+                return kb, kv, ks, key_fc0, rb, rv, ref_fc0
+
+            return jax.vmap(per_frame)(c4)
+        return det.apply(params, method=fwd)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _predict_jit(det: MegaDetector):
     @jax.jit
     def predict(params, v):
@@ -224,29 +267,41 @@ def _predict_jit(det: MegaDetector):
 
 
 def detect_video(det: MegaDetector, params, images, image_hw, *,
-                 key_post_nms: int = 300, seed: int = 0):
+                 key_post_nms: int = 300, seed: int = 0, chunk: int = 4,
+                 fused_pe_bias: bool = True):
     """Detect every frame of a video with full MEGA semantics.
 
     images: (T, H, W, 3) host array or any indexable sequence of (H, W, 3)
-    frames (frames are fed one at a time to the jitted precompute to
-    bound device/host memory). Returns dict of stacked per-frame arrays:
-    proposals (T, Nk, 4), proposal_scores, valid, cls_logits (T, Nk,
-    K+1), bbox_deltas, visual (T, Nk, 1024).
+    frames — uint8 preferred (4x cheaper host->device transfer; the model
+    casts on device). Frames are fed `chunk` at a time to the jitted
+    precompute (one transfer + one dispatch per chunk bounds host
+    round-trips while capping device memory). Returns dict of stacked
+    per-frame arrays: proposals (T, Nk, 4), proposal_scores, valid,
+    cls_logits (T, Nk, K+1), bbox_deltas, visual (T, Nk, 1024).
     """
     t_total = len(images)
-    run = _precompute_jit(det, key_post_nms)
+    chunk = max(1, min(chunk, t_total))
+    run = _precompute_chunk_jit(det, key_post_nms, chunk)
     hw = jnp.asarray(image_hw)
-    outs = [run(params, jnp.asarray(np.ascontiguousarray(images[t])), hw)
-            for t in range(t_total)]
-    kb, kv, ks, kf, rb, rv, rf = (jnp.stack([o[i] for o in outs])
-                                  for i in range(7))
+    outs = []
+    for lo in range(0, t_total, chunk):
+        hi = min(lo + chunk, t_total)
+        imgs = np.stack([np.ascontiguousarray(images[t])
+                         for t in range(lo, hi)])
+        if hi - lo < chunk:  # pad the tail chunk (sliced off below)
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], chunk - (hi - lo), axis=0)])
+        outs.append(run(params, jnp.asarray(imgs), hw))
+    kb, kv, ks, kf, rb, rv, rf = (
+        jnp.concatenate([o[i] for o in outs])[:t_total] for i in range(7))
 
     glob_idx = None
     if det.global_enable:
         glob_idx = global_indices(t_total, min(det.global_size, t_total),
                                   seed=seed)
     visual = stream_video(
-        make_mega_head(det), {"params": params["params"]["mega"]},
+        make_mega_head(det, fused_pe_bias=fused_pe_bias),
+        {"params": params["params"]["mega"]},
         key_feat=kf, key_rois=kb, key_valid=kv, key_is_fc0=True,
         ref_feat=rf, ref_rois=rb, ref_valid=rv,
         mem_size=det.window, window=det.window,
