@@ -101,23 +101,26 @@ def main():
         extra.append({"metric": "vidor_eval_error", "value": str(e)})
 
     # fused train step (forward + Hungarian + losses + backward + AdamW +
-    # EMA) on a 1-chip mesh: the 24-pair VidVRD parity shape AND the
-    # documented larger-batch recipe (96 pairs = 24 videos x 4 pairs),
-    # which lifts MFU by filling the chip (see DEVNOTES round-3 MFU
-    # analysis). fp32 only: XLA's default matmul precision already runs
-    # f32 matmuls as bf16 MXU passes, so --compute_dtype bfloat16
-    # measured SLOWER here (29.9 vs 17.96 ms/step, 2026-08-16) — the
-    # cast traffic buys nothing at this model size. bf16 training
-    # remains an opt-in for memory-bound configs (see DEVNOTES).
+    # EMA) on a 1-chip mesh: the 24-pair VidVRD parity shape (fp32 — at
+    # this latency-bound batch, bf16's cast traffic measured SLOWER,
+    # 29.9 vs 17.96 ms/step, 2026-08-16) AND the documented larger-batch
+    # production recipe (96 pairs = 24 videos x 4 pairs, bf16 compute).
+    # At b96 the step is bandwidth-bound (time scales with compiler
+    # bytes-accessed, DEVNOTES round-3 MFU analysis), so halving
+    # activation bytes wins: bf16 b96 measured 30.1 ms = 3187 pairs/s at
+    # 30.9% MFU vs 38.1 ms fp32 (2026-08-17).
     try:
         extra.append(_train_step_metric(cfg, c))
     except Exception as e:  # keep the headline alive no matter what
         extra.append({"metric": "train_step_error", "value": str(e)})
     try:
-        extra.append(_train_step_metric(cfg, c, pairs=96,
-                                        tag="train_step_b96"))
+        import dataclasses
+        extra.append(_train_step_metric(
+            dataclasses.replace(cfg, compute_dtype="bfloat16"), c,
+            pairs=96, tag="train_step_b96_bf16"))
     except Exception as e:
-        extra.append({"metric": "train_step_b96_error", "value": str(e)})
+        extra.append({"metric": "train_step_b96_bf16_error",
+                      "value": str(e)})
 
     for rec in extra:
         print(json.dumps(rec), file=sys.stderr)
