@@ -128,11 +128,14 @@ def test_overfit_to_map(tmp_path):
     dirs = make_learnable_corpus(root, n_train_videos=6, n_test_videos=2,
                                  seed=7)
     cfg = tiny_yaml(root, dirs)
-    cfg["training_config"]["training_epoch"] = 30
-    cfg["training_config"]["total_epoch"] = 30
-    cfg["training_config"]["training_lr"] = 0.001
-    cfg["training_config"]["save_interval"] = 30
+    cfg["training_config"]["training_epoch"] = 200
+    cfg["training_config"]["total_epoch"] = 200
+    cfg["training_config"]["training_lr"] = 0.002
+    cfg["training_config"]["save_interval"] = 200
     cfg["training_config"]["warmup_epochs"] = 3
+    # eval restores EMA-first (reference protocol); at ~400 tiny-corpus
+    # steps a 0.999 EMA still sits near init, so converge it faster
+    cfg["training_config"]["ema_decay"] = 0.9
     cfg["dataset_config"]["cache_tag"] = "OVERFIT"
     cfg_path = os.path.join(root, "cfg.yaml")
     with open(cfg_path, "w") as f:

@@ -68,7 +68,12 @@ def create_train_state(cfg: ModelConfig, training_config: dict,
         ema_params=jax.tree.map(jnp.copy, params),  # distinct buffers: the
         # step donates its input state, params and ema must not alias
         opt_state=tx.init(params),
-        tx=tx)
+        tx=tx,
+        # reference parity: ModelEma decay 0.999 (train_utils.py:10-32).
+        # Configurable because eval restores EMA-first: short runs (tiny
+        # corpora, smoke tests) need a faster-converging average or the
+        # evaluated weights lag hundreds of steps behind the raw params.
+        ema_decay=float(training_config.get("ema_decay", 0.999)))
     return state, schedule
 
 
