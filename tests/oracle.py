@@ -678,3 +678,107 @@ def rpn_head_params(M):
                 "bias": t2n(l.bias)}
     return {"conv": conv(M.conv), "cls_logits": conv(M.cls_logits),
             "bbox_pred": conv(M.bbox_pred)}
+
+
+# ---------------------------------------------------------------------------
+# Mask / keypoint RoI heads (reference roi_heads/{mask,keypoint}_head)
+# ---------------------------------------------------------------------------
+
+class _DuckCfg(dict):
+    """Attribute-access dict standing in for a yacs node."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def make_reference_mask_modules(num_classes=5, conv_layers=(8, 8),
+                                in_channels=6, dilation=1, seed=0):
+    """Reference MaskRCNNFPNFeatureExtractor + MaskRCNNC4Predictor
+    (roi_mask_feature_extractors.py:17-66, roi_mask_predictors.py:10-31).
+    The extractor's pooler is bypassed in tests (our static-shape pooling
+    is covered by the roi_align golden tests)."""
+    import torch
+
+    load_mega_reference()
+    from mega_core.modeling.roi_heads.mask_head import (
+        roi_mask_feature_extractors as rmfe)
+    from mega_core.modeling.roi_heads.mask_head import (
+        roi_mask_predictors as rmp)
+
+    cfg = _DuckCfg()
+    cfg.MODEL = _DuckCfg()
+    cfg.MODEL.ROI_BOX_HEAD = _DuckCfg(NUM_CLASSES=num_classes)
+    cfg.MODEL.ROI_MASK_HEAD = _DuckCfg(
+        POOLER_RESOLUTION=14, POOLER_SCALES=(0.0625,),
+        POOLER_SAMPLING_RATIO=2, USE_GN=False,
+        CONV_LAYERS=tuple(conv_layers), DILATION=dilation)
+    torch.manual_seed(seed)
+    ext = rmfe.MaskRCNNFPNFeatureExtractor(cfg, in_channels)
+    pred = rmp.MaskRCNNC4Predictor(cfg, ext.out_channels)
+    ext.eval()
+    pred.eval()
+    return ext, pred
+
+
+def make_reference_keypoint_modules(num_keypoints=3, conv_layers=(8, 8),
+                                    in_channels=4, seed=0):
+    """Reference KeypointRCNNFeatureExtractor + KeypointRCNNPredictor
+    (roi_keypoint_feature_extractors.py:10-44,
+    roi_keypoint_predictors.py:7-33)."""
+    import torch
+
+    load_mega_reference()
+    from mega_core.modeling.roi_heads.keypoint_head import (
+        roi_keypoint_feature_extractors as rkfe)
+    from mega_core.modeling.roi_heads.keypoint_head import (
+        roi_keypoint_predictors as rkp)
+
+    cfg = _DuckCfg()
+    cfg.MODEL = _DuckCfg()
+    cfg.MODEL.ROI_KEYPOINT_HEAD = _DuckCfg(
+        POOLER_RESOLUTION=14, POOLER_SCALES=(0.0625,),
+        POOLER_SAMPLING_RATIO=2, CONV_LAYERS=tuple(conv_layers),
+        NUM_CLASSES=num_keypoints)
+    torch.manual_seed(seed)
+    ext = rkfe.KeypointRCNNFeatureExtractor(cfg, in_channels)
+    pred = rkp.KeypointRCNNPredictor(cfg, ext.out_channels)
+    ext.eval()
+    pred.eval()
+    return ext, pred
+
+
+def _conv2d_params(l):
+    return {"kernel": t2n(l.weight).transpose(2, 3, 1, 0),
+            "bias": t2n(l.bias)}
+
+
+def _deconv_params(l):
+    """torch ConvTranspose2d (in, out, kh, kw) -> our Deconv kernel
+    (kh, kw, in, out), spatially flipped (zero-insertion formulation)."""
+    w = t2n(l.weight).transpose(2, 3, 0, 1)[::-1, ::-1]
+    return {"kernel": np.ascontiguousarray(w), "bias": t2n(l.bias)}
+
+
+def mask_head_params(ext, pred):
+    """Reference extractor+predictor -> our MaskHead params."""
+    p = {}
+    for i, name in enumerate(ext.blocks, 1):
+        p[f"mask_fcn{i}"] = _conv2d_params(getattr(ext, name))
+    p["conv5_mask"] = _deconv_params(pred.conv5_mask)
+    p["mask_fcn_logits"] = _conv2d_params(pred.mask_fcn_logits)
+    return p
+
+
+def keypoint_head_params(ext, pred):
+    """Reference extractor+predictor -> our KeypointHead params."""
+    p = {}
+    for i, name in enumerate(ext.blocks, 1):
+        p[f"conv_fcn{i}"] = _conv2d_params(getattr(ext, name))
+    p["kps_score_lowres"] = _deconv_params(pred.kps_score_lowres)
+    return p
