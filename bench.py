@@ -35,6 +35,18 @@ BATCH_PAIRS = 128   # measured sweet spot (64: 11304, 128: 11686,
 SEQ_LEN = 96
 
 
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _drain(out):
+    """Force remote execution + completion via a tiny D2H read
+    (block_until_ready is unreliable over the axon tunnel)."""
+    import numpy as np
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[:1])
+
+
 def main():
     import __graft_entry__ as g
     from vrdone_tpu.models.maskvrd import MaskVRD
@@ -63,16 +75,23 @@ def main():
         masks_bin = jax.nn.sigmoid(preds["pred_masks"]) > 0.5
         return scores, catids, masks_bin
 
+    _progress("compiling vidvrd eval forward")
     lowered = forward.lower(feats, mask)
     compiled = lowered.compile()
+    _progress("vidvrd eval forward compiled")
     out = compiled(feats, mask)
-    jax.block_until_ready(out)
+    _drain(out)
 
+    # NOTE on methodology: jax.block_until_ready does not reliably force
+    # remote execution over the axon tunnel (DEVNOTES "Serving round 3b");
+    # timing loops therefore end with a tiny D2H drain INSIDE the timed
+    # region. The device executes queued programs serially, so the drain
+    # of the last output waits for the whole queue.
     n_iter = 50
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = compiled(feats, mask)
-    jax.block_until_ready(out)
+    _drain(out)
     dt = (time.perf_counter() - t0) / n_iter
     pairs_per_sec = BATCH_PAIRS / dt
 
@@ -95,10 +114,12 @@ def main():
     # VidOR eval forward (T=512, vidor.yaml dims, bf16) — the larger
     # benchmark corpus gets its own pinned chip number (VERDICT r2
     # item 7)
+    _progress("vidvrd eval done; starting vidor eval")
     try:
         extra.append(_vidor_eval_metric())
     except Exception as e:
         extra.append({"metric": "vidor_eval_error", "value": str(e)})
+    _progress("vidor eval done; starting train step (24-pair fp32)")
 
     # fused train step (forward + Hungarian + losses + backward + AdamW +
     # EMA) on a 1-chip mesh: the 24-pair VidVRD parity shape (fp32 — at
@@ -113,6 +134,7 @@ def main():
         extra.append(_train_step_metric(cfg, c))
     except Exception as e:  # keep the headline alive no matter what
         extra.append({"metric": "train_step_error", "value": str(e)})
+    _progress("train step done; starting b96 bf16 train step")
     try:
         import dataclasses
         extra.append(_train_step_metric(
@@ -121,6 +143,14 @@ def main():
     except Exception as e:
         extra.append({"metric": "train_step_b96_bf16_error",
                       "value": str(e)})
+    _progress("b96 train step done; starting serving metric")
+
+    # video-detection serving (L9): phase-method frames/s at the
+    # production shape, bf16 precompute (DEVNOTES "Serving round 3b")
+    try:
+        extra.append(_serving_metric())
+    except Exception as e:
+        extra.append({"metric": "serving_error", "value": str(e)})
 
     for rec in extra:
         print(json.dumps(rec), file=sys.stderr)
@@ -166,12 +196,12 @@ def _vidor_eval_metric():
 
     compiled = forward.lower(feats, mask).compile()
     out = compiled(feats, mask)
-    jax.block_until_ready(out)
+    _drain(out)
     n_iter = 30
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = compiled(feats, mask)
-    jax.block_until_ready(out)
+    _drain(out)
     dt = (time.perf_counter() - t0) / n_iter
     rec = {"metric": "vidor_eval_forward_so_pairs_per_sec_per_chip",
            "value": round(b / dt, 1), "unit": "pairs/s",
@@ -187,6 +217,21 @@ def _vidor_eval_metric():
     except Exception:
         pass
     return rec
+
+
+def _serving_metric():
+    """detect_video phase-method frames/s: R-101-C4 full MEGA head,
+    608x1088 canvas, 300 key / 75 ref proposals, bf16 backbone/RoI
+    precompute. vs_baseline field = round-1 baseline 0.79 frames/s."""
+    from tools.profile_serving import measure
+    r = measure(frames=16, dtype="bfloat16")
+    return {"metric": "serving_detect_video_frames_per_sec",
+            "value": r["frames_per_sec"], "unit": "frames/s",
+            "vs_baseline": round(r["frames_per_sec"] / 0.79, 1),
+            "phase_ms_per_frame": {
+                "precompute": r["precompute_ms_per_frame"],
+                "stream": r["stream_ms_per_frame"],
+                "predict": r["predict_ms_per_frame"]}}
 
 
 def _train_step_metric(cfg, c, tag="train_step", pairs=24):
@@ -226,14 +271,16 @@ def _train_step_metric(cfg, c, tag="train_step", pairs=24):
     step_fn = make_jitted_train_step(cfg, mesh)
     sharded = shard_batch(mesh, jb)
     state, losses = step_fn(state, sharded, jax.random.key(1))
-    jax.block_until_ready(losses)
+    _drain(losses)
 
+    # steps chain through `state`, so the device runs them sequentially;
+    # the final drain waits for the chain (see _drain note)
     n_iter = 20
     t0 = time.perf_counter()
     for i in range(n_iter):
         state, losses = step_fn(state, sharded, jax.random.fold_in(
             jax.random.key(2), i))
-    jax.block_until_ready(losses)
+    _drain(losses)
     dt = (time.perf_counter() - t0) / n_iter
     rec = {"metric": f"{tag}_so_pairs_per_sec_per_chip",
            "value": round(p / dt, 1), "unit": "pairs/s",

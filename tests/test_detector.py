@@ -104,6 +104,51 @@ def test_detect_video_end_to_end():
 
 
 @pytest.mark.slow
+def test_bf16_precompute_parity():
+    """Serving fast path: the bf16 backbone/RoI precompute tracks the fp32
+    one. NMS keep decisions can flip on near-tied random-init scores, so
+    parity is pinned where it is deterministic — the C4 feature map and
+    the fc0 features of FIXED rois — and the full detect_video bf16 path
+    is smoke-checked (shapes + finiteness; boxes stay fp32-decoded)."""
+    det = _tiny_detector()
+    rng = np.random.default_rng(11)
+    images = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.float32)
+    hw = np.asarray([96, 128], np.float32)
+
+    from tools.detect_and_track import init_detector_params
+    from vrdone_tpu.models.detector import _cast_f32_leaves
+    params = init_detector_params(det, images[0], jnp.asarray(hw),
+                                  key_post_nms=8)
+    bf16_params = _cast_f32_leaves(params, jnp.bfloat16)
+
+    rois = jnp.asarray([[4.0, 4.0, 60.0, 50.0], [20.0, 10.0, 120.0, 90.0]])
+    valid = jnp.ones((2,), bool)
+
+    def fwd(m, imgs, dt):
+        c4 = m.features(imgs, compute_dtype=dt)
+        fc0 = m.frame_fc0(c4[0], rois, valid)
+        return c4, fc0
+
+    c4_32, fc0_32 = det.apply(params, jnp.asarray(images),
+                              jnp.float32, method=fwd)
+    c4_16, fc0_16 = det.apply(bf16_params, jnp.asarray(images),
+                              jnp.bfloat16, method=fwd)
+    assert c4_16.dtype == jnp.bfloat16
+    for a32, a16 in ((c4_32, c4_16), (fc0_32, fc0_16)):
+        a16 = np.asarray(a16, np.float32)
+        a32 = np.asarray(a32)
+        scale = np.abs(a32).max()
+        assert np.abs(a16 - a32).max() < 0.05 * scale
+        assert np.abs(a16 - a32).mean() < 0.005 * scale
+
+    out = detect_video(det, params, images, hw, key_post_nms=8,
+                       compute_dtype="bfloat16")
+    assert out["visual"].dtype == np.float32
+    assert np.isfinite(out["cls_logits"]).all()
+    assert np.isfinite(out["proposals"]).all()
+
+
+@pytest.mark.slow
 def test_gt_feature_extraction_path():
     det = _tiny_detector()
     rng = np.random.default_rng(5)

@@ -97,6 +97,10 @@ def main():
     p.add_argument("--global_size", type=int, default=10)
     p.add_argument("--part", type=int, default=0)
     p.add_argument("--num_parts", type=int, default=1)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"),
+                   help="backbone/RoI precompute dtype (bf16 = serving "
+                        "fast path; box decode/NMS stay fp32 either way)")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -126,7 +130,8 @@ def main():
                     det, loader[0], image_hw,
                     key_post_nms=args.post_nms_top_n)
         out = detect_video(det, params, loader, np.asarray(args.canvas),
-                           key_post_nms=args.post_nms_top_n)
+                           key_post_nms=args.post_nms_top_n,
+                           compute_dtype=args.compute_dtype)
 
         tracker = IoUTracker()
         for fid in range(len(frames)):

@@ -55,7 +55,7 @@ def _frame_rois(frame_anno, box_slots):
 
 def extract_video(det: MegaDetector, params, anno: dict, frames_dir: str,
                   video: str, *, box_slots: int = 16,
-                  seed: int = 0) -> dict:
+                  seed: int = 0, compute_dtype: str = "float32") -> dict:
     """Stream one video's annotated frames through the MEGA extractor."""
     trajectories = anno["trajectories"]
     fids = [f for f in range(len(trajectories)) if trajectories[f]]
@@ -75,7 +75,7 @@ def extract_video(det: MegaDetector, params, anno: dict, frames_dir: str,
                          for fid in fids[lo:hi]])
 
     feats = extract_video_features(det, params, load, rois, valid,
-                                   seed=seed)
+                                   seed=seed, compute_dtype=compute_dtype)
 
     out = {}
     for i, fid in enumerate(fids):
@@ -127,6 +127,10 @@ def main():
     p.add_argument("--global_size", type=int, default=10,
                    help="0 disables the MEGA global stage")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="backbone/RoI pass dtype (bf16 = fast extraction; "
+                        "features always emitted fp32)")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -158,7 +162,8 @@ def main():
                 params = init_extractor_params(det, args.frames_dir, video,
                                                args.box_slots, args.seed)
         data = extract_video(det, params, anno, args.frames_dir, video,
-                             box_slots=args.box_slots, seed=args.seed)
+                             box_slots=args.box_slots, seed=args.seed,
+                             compute_dtype=args.compute_dtype)
         with open(dst, "wb") as f:
             pickle.dump(data, f)
         print(f"{video}: {len(data)} frames")

@@ -5,8 +5,13 @@ Times the three serving phases separately — per-frame precompute
 head — on a synthetic video at the production shape (608x1088 canvas,
 300 key / 75 ref proposals), and optionally writes an xplane trace.
 
+Phase boundaries are forced with tiny D2H drains, not block_until_ready
+— the latter does not reliably force remote execution over the axon
+tunnel (DEVNOTES "Serving round 3b").
+
 Usage:
-    python tools/profile_serving.py [--frames 30] [--trace_dir /tmp/xp]
+    python tools/profile_serving.py [--frames 30] [--dtype bfloat16]
+        [--trace_dir /tmp/xp]
 """
 
 from __future__ import annotations
@@ -27,36 +32,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--frames", type=int, default=30)
-    p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
-    p.add_argument("--trace_dir", default=None)
-    p.add_argument("--chunk", type=int, default=4)
-    p.add_argument("--num_classes", type=int, default=31)
-    args = p.parse_args()
-
+def measure(frames: int = 30, canvas=(608, 1088), chunk: int = 4,
+            num_classes: int = 31, dtype: str = "float32",
+            trace_dir: str | None = None) -> dict:
+    """Run the three serving phases and return the timing dict."""
     from vrdone_tpu.models.detector import (MegaDetector,
+                                            _cast_f32_leaves,
                                             _precompute_chunk_jit,
                                             _predict_jit, make_mega_head)
     from vrdone_tpu.models.mega import global_indices, stream_video
 
-    det = MegaDetector(num_classes=args.num_classes)
-    h, w = args.canvas
-    t_total = args.frames
+    det = MegaDetector(num_classes=num_classes)
+    h, w = canvas
+    t_total = frames
     rng = np.random.default_rng(0)
     # uint8 transfer: serving sends raw frames at 1 byte/px (cast to f32
     # + mean-subtract happen on device in MegaDetector.features)
     images = rng.integers(0, 255, (t_total, h, w, 3)).astype(np.uint8)
     hw = jnp.asarray((h, w), jnp.float32)
 
-    sample = jnp.asarray(images[0])
-    chunk = min(args.chunk, t_total)
-    run = _precompute_chunk_jit(det, 300, chunk)
+    chunk = min(chunk, t_total)
+    run = _precompute_chunk_jit(det, 300, chunk, dtype)
 
     from tools.detect_and_track import init_detector_params
-    params = init_detector_params(det, np.asarray(sample), hw,
-                                  key_post_nms=300)
+    params = init_detector_params(det, images[0], hw, key_post_nms=300)
+    cparams = _cast_f32_leaves(params, jnp.dtype(dtype))
 
     def phase_precompute():
         outs = []
@@ -66,8 +66,8 @@ def main():
             if hi - lo < chunk:
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], chunk - (hi - lo), axis=0)])
-            outs.append(run(params, jnp.asarray(imgs), hw))
-        jax.block_until_ready(outs[-1])
+            outs.append(run(cparams, jnp.asarray(imgs), hw))
+        np.asarray(outs[-1][1])            # D2H drain forces execution
         return outs
 
     outs = phase_precompute()           # compile
@@ -88,7 +88,7 @@ def main():
                          ref_valid=rv, mem_size=det.window,
                          window=det.window, key_loc=det.key_loc,
                          glob_idx=glob_idx)
-        jax.block_until_ready(v)
+        np.asarray(v[0, 0, :4])
         return v
 
     visual = phase_stream()             # compile
@@ -100,7 +100,7 @@ def main():
 
     def phase_predict():
         out = predict(params, visual.reshape(-1, 1024))
-        jax.block_until_ready(out)
+        np.asarray(out[0][0, :4])
         return out
 
     phase_predict()                     # compile
@@ -109,21 +109,43 @@ def main():
     pred_s = time.perf_counter() - t0
 
     tot = pre_s + stream_s + pred_s
-    print(json.dumps({
+    result = {
         "frames": t_total,
+        "dtype": dtype,
         "precompute_ms_per_frame": round(pre_s / t_total * 1e3, 2),
         "stream_ms_per_frame": round(stream_s / t_total * 1e3, 2),
         "predict_ms_per_frame": round(pred_s / t_total * 1e3, 2),
         "total_ms_per_frame": round(tot / t_total * 1e3, 2),
-        "frames_per_sec": round(t_total / tot, 2)}), flush=True)
+        "frames_per_sec": round(t_total / tot, 2)}
 
-    if args.trace_dir:
-        jax.profiler.start_trace(args.trace_dir)
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
         phase_precompute()
         phase_stream()
         phase_predict()
         jax.profiler.stop_trace()
-        print(json.dumps({"trace_dir": args.trace_dir}), flush=True)
+        result["trace_dir"] = trace_dir
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--canvas", type=int, nargs=2, default=(608, 1088))
+    p.add_argument("--trace_dir", default=None)
+    p.add_argument("--chunk", type=int, default=4)
+    p.add_argument("--num_classes", type=int, default=31)
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="precompute compute dtype (serving fast path)")
+    args = p.parse_args()
+    result = measure(frames=args.frames, canvas=tuple(args.canvas),
+                     chunk=args.chunk, num_classes=args.num_classes,
+                     dtype=args.dtype, trace_dir=args.trace_dir)
+    trace_dir = result.pop("trace_dir", None)
+    print(json.dumps(result), flush=True)
+    if trace_dir:
+        print(json.dumps({"trace_dir": trace_dir}), flush=True)
 
 
 if __name__ == "__main__":

@@ -123,12 +123,15 @@ class MegaDetector(nn.Module):
                                 name="box_head")
         self.mega = make_mega_head(self, name="mega")
 
-    def features(self, images: Array) -> Array:
+    def features(self, images: Array,
+                 compute_dtype=jnp.float32) -> Array:
         """images: (N, H, W, 3) raw pixels -> C4 features (N, H/16, W/16,
         C). Mean subtraction happens here (BGR channel order expected).
         uint8 input is fine — serving transfers frames at 1 byte/px over
-        the host->device link and casts here."""
-        x = images.astype(jnp.float32) - PIXEL_MEAN
+        the host->device link and casts here. compute_dtype=bfloat16 runs
+        the backbone at half the activation bandwidth (serving fast path;
+        pass bf16-cast params alongside or the convs promote back)."""
+        x = (images.astype(jnp.float32) - PIXEL_MEAN).astype(compute_dtype)
         return self.backbone(x)
 
     def propose(self, c4_feat: Array, image_hw: Array, *,
@@ -138,8 +141,10 @@ class MegaDetector(nn.Module):
         logits, deltas = self.rpn_head(c4_feat[None])
         hp, wp, a = logits.shape[1], logits.shape[2], logits.shape[3]
         anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
-        logits = logits[0].reshape(-1)
-        deltas = deltas[0].reshape(hp * wp * a, 4)
+        # box decode + NMS always run in fp32: bf16 coordinates on a
+        # ~1000px canvas quantize to ~4px, which flips NMS keep decisions
+        logits = logits[0].reshape(-1).astype(jnp.float32)
+        deltas = deltas[0].reshape(hp * wp * a, 4).astype(jnp.float32)
         return rpn_lib.select_proposals(
             anchors, logits, deltas, image_hw,
             pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n)
@@ -183,20 +188,35 @@ def make_mega_head(det: MegaDetector, name: str | None = None,
 import functools
 
 
+def _cast_f32_leaves(tree, dtype):
+    """Cast fp32 leaves of a param tree to `dtype` (no-op for float32)."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree)
+
+
 @functools.lru_cache(maxsize=None)
-def _precompute_jit(det: MegaDetector, key_post_nms: int):
+def _precompute_jit(det: MegaDetector, key_post_nms: int,
+                    compute_dtype: str = "float32"):
     """Jitted per-frame precompute: c4 -> key + ref proposals -> fc0-level
-    features. Cached by (det config, key_post_nms) with params as an
-    argument, so repeated detect_video calls — the per-video serving
-    loop — reuse one compiled program instead of re-tracing."""
+    features. Cached by (det config, key_post_nms, dtype) with params as
+    an argument, so repeated detect_video calls — the per-video serving
+    loop — reuse one compiled program instead of re-tracing.
+
+    Callers pass params already cast to compute_dtype (_cast_f32_leaves
+    OUTSIDE the jit: an in-program cast re-runs per dispatch and measured
+    ~14 ms/chunk on-chip)."""
+    dt = jnp.dtype(compute_dtype)
 
     @jax.jit
-    def run(params, image, image_hw):
+    def run(cparams, image, image_hw):
+
         def fwd(m):
-            c4 = m.features(image[None])[0]
+            c4 = m.features(image[None], compute_dtype=dt)[0]
             kb, ks, kv = m.propose(c4, image_hw,
                                    post_nms_top_n=key_post_nms)
-            key_fc0 = m.frame_fc0(c4, kb, kv)
+            key_fc0 = m.frame_fc0(c4, kb, kv).astype(jnp.float32)
             if key_post_nms >= det.base_num:
                 # greedy NMS keeps are score-sorted and prefix-stable in
                 # max_out, so the ref set (top base_num) is exactly the
@@ -206,21 +226,24 @@ def _precompute_jit(det: MegaDetector, key_post_nms: int):
             else:
                 rb, _, rv = m.propose(c4, image_hw,
                                       post_nms_top_n=det.base_num)
-                ref_fc0 = m.frame_fc0(c4, rb, rv)
+                ref_fc0 = m.frame_fc0(c4, rb, rv).astype(jnp.float32)
             return kb, kv, ks, key_fc0, rb, rv, ref_fc0
-        return det.apply(params, method=fwd)
+        return det.apply(cparams, method=fwd)
 
     return run
 
 
-def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int):
+def _precompute_fns(det: MegaDetector, params, *, key_post_nms: int,
+                    compute_dtype: str = "float32"):
     """Back-compat shim binding params into the cached jit."""
-    run = _precompute_jit(det, key_post_nms)
-    return lambda image, image_hw: run(params, image, image_hw)
+    run = _precompute_jit(det, key_post_nms, compute_dtype)
+    cparams = _cast_f32_leaves(params, jnp.dtype(compute_dtype))
+    return lambda image, image_hw: run(cparams, image, image_hw)
 
 
 @functools.lru_cache(maxsize=None)
-def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int):
+def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int,
+                          compute_dtype: str = "float32"):
     """Chunked per-frame precompute: `chunk` frames per dispatch.
 
     The per-frame variant above pays one host->device image transfer and
@@ -228,17 +251,25 @@ def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int):
     serialized transfer+roundtrip — not device compute — bounded
     detect_video (DEVNOTES serving analysis). Batching frames amortizes
     both, and the backbone/RoI work is embarrassingly parallel across
-    frames anyway."""
+    frames anyway.
+
+    compute_dtype="bfloat16" runs backbone/C5/fc0 at half the activation
+    bandwidth; callers pass params already cast (_cast_f32_leaves outside
+    the jit — in-program casting re-ran per dispatch, ~14 ms/chunk). Box
+    decode + NMS stay fp32 (MegaDetector.propose) and the fc0 features
+    are returned fp32, so the streaming/predict phases are unchanged."""
+    dt = jnp.dtype(compute_dtype)
 
     @jax.jit
-    def run(params, images, image_hw):
+    def run(cparams, images, image_hw):
+
         def fwd(m):
-            c4 = m.features(images)            # (F, H/16, W/16, C)
+            c4 = m.features(images, compute_dtype=dt)  # (F, H/16, W/16, C)
 
             def per_frame(c4f):
                 kb, ks, kv = m.propose(c4f, image_hw,
                                        post_nms_top_n=key_post_nms)
-                key_fc0 = m.frame_fc0(c4f, kb, kv)
+                key_fc0 = m.frame_fc0(c4f, kb, kv).astype(jnp.float32)
                 if key_post_nms >= det.base_num:
                     # greedy NMS keeps are score-sorted and prefix-stable
                     # in max_out, so the ref set (top base_num) is exactly
@@ -248,11 +279,11 @@ def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int):
                 else:
                     rb, _, rv = m.propose(c4f, image_hw,
                                           post_nms_top_n=det.base_num)
-                    ref_fc0 = m.frame_fc0(c4f, rb, rv)
+                    ref_fc0 = m.frame_fc0(c4f, rb, rv).astype(jnp.float32)
                 return kb, kv, ks, key_fc0, rb, rv, ref_fc0
 
             return jax.vmap(per_frame)(c4)
-        return det.apply(params, method=fwd)
+        return det.apply(cparams, method=fwd)
 
     return run
 
@@ -268,20 +299,25 @@ def _predict_jit(det: MegaDetector):
 
 def detect_video(det: MegaDetector, params, images, image_hw, *,
                  key_post_nms: int = 300, seed: int = 0, chunk: int = 4,
-                 fused_pe_bias: bool = True):
+                 fused_pe_bias: bool = True,
+                 compute_dtype: str = "float32"):
     """Detect every frame of a video with full MEGA semantics.
 
     images: (T, H, W, 3) host array or any indexable sequence of (H, W, 3)
     frames — uint8 preferred (4x cheaper host->device transfer; the model
     casts on device). Frames are fed `chunk` at a time to the jitted
     precompute (one transfer + one dispatch per chunk bounds host
-    round-trips while capping device memory). Returns dict of stacked
-    per-frame arrays: proposals (T, Nk, 4), proposal_scores, valid,
-    cls_logits (T, Nk, K+1), bbox_deltas, visual (T, Nk, 1024).
+    round-trips while capping device memory). compute_dtype="bfloat16"
+    runs the backbone/RoI precompute in bf16 (box decode/NMS and the
+    streaming attention stay fp32) — the production serving fast path.
+    Returns dict of stacked per-frame arrays: proposals (T, Nk, 4),
+    proposal_scores, valid, cls_logits (T, Nk, K+1), bbox_deltas,
+    visual (T, Nk, 1024).
     """
     t_total = len(images)
     chunk = max(1, min(chunk, t_total))
-    run = _precompute_chunk_jit(det, key_post_nms, chunk)
+    run = _precompute_chunk_jit(det, key_post_nms, chunk, compute_dtype)
+    cparams = _cast_f32_leaves(params, jnp.dtype(compute_dtype))
     hw = jnp.asarray(image_hw)
     outs = []
     for lo in range(0, t_total, chunk):
@@ -291,7 +327,7 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
         if hi - lo < chunk:  # pad the tail chunk (sliced off below)
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], chunk - (hi - lo), axis=0)])
-        outs.append(run(params, jnp.asarray(imgs), hw))
+        outs.append(run(cparams, jnp.asarray(imgs), hw))
     kb, kv, ks, kf, rb, rv, rf = (
         jnp.concatenate([o[i] for o in outs])[:t_total] for i in range(7))
 
@@ -318,7 +354,8 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
 
 
 def extract_video_features(det: MegaDetector, params, images, rois, valid,
-                           *, seed: int = 0, batch: int = 8):
+                           *, seed: int = 0, batch: int = 8,
+                           compute_dtype: str = "float32"):
     """GT-box feature extraction for a whole video (the reference
     FeatureExtractor path, datasets/mega/feature_extractor_vidvrd.py):
     the given boxes serve as key, window, and global proposal sets.
@@ -326,18 +363,22 @@ def extract_video_features(det: MegaDetector, params, images, rois, valid,
     images: (T, H, W, 3) array, or a callable (lo, hi) -> (hi-lo, H, W, 3)
     that loads frames lazily (long videos don't fit in host RAM as one
     float32 stack); rois: (T, N, 4); valid: (T, N).
+    compute_dtype="bfloat16" runs the backbone/RoI pass at half the
+    activation bandwidth (fc0 features return fp32; streaming unchanged).
     Returns (T, N, 1024) MEGA-enhanced features.
     """
     t_total = rois.shape[0]
     load = images if callable(images) else (
         lambda lo, hi: images[lo:hi])
+    dt = jnp.dtype(compute_dtype)
+    cparams = _cast_f32_leaves(params, dt)
 
     @jax.jit
     def fc0_batch(imgs, rs, vs):
         def fwd(m):
-            c4 = m.features(imgs)
-            return jax.vmap(m.frame_fc0)(c4, rs, vs)
-        return det.apply(params, method=fwd)
+            c4 = m.features(imgs, compute_dtype=dt)
+            return jax.vmap(m.frame_fc0)(c4, rs, vs).astype(jnp.float32)
+        return det.apply(cparams, method=fwd)
 
     feats = []
     for lo in range(0, t_total, batch):
@@ -399,7 +440,8 @@ def detect_video_tta(det: MegaDetector, params, images, image_hw, *,
                      scales=(), hflip: bool = True,
                      key_post_nms: int = 300, seed: int = 0,
                      score_thresh: float = 0.05, nms_thresh: float = 0.5,
-                     dets_per_img: int = 100) -> list[dict]:
+                     dets_per_img: int = 100,
+                     compute_dtype: str = "float32") -> list[dict]:
     """Test-time-augmented video detection (reference
     mega_core/engine/bbox_aug.py:16-112: the model runs on each augmented
     view — identity, hflip, and resized copies +- their flips — and all
@@ -426,7 +468,8 @@ def detect_video_tta(det: MegaDetector, params, images, image_hw, *,
     for tfm, frames, vhw in view_specs:
         out = detect_video(det, params, frames,
                            np.asarray(vhw, np.float32),
-                           key_post_nms=key_post_nms, seed=seed)
+                           key_post_nms=key_post_nms, seed=seed,
+                           compute_dtype=compute_dtype)
         outs.append((tfm, out))
 
     t_total = len(images)

@@ -33,8 +33,12 @@ class FrozenBatchNorm(nn.Module):
                           (self.features,))
         var = self.param("running_var", nn.initializers.ones,
                          (self.features,))
-        scale = weight * jax.lax.rsqrt(var + 1e-5)
-        return x * scale + (bias - mean * scale)
+        # fold in fp32 regardless of compute dtype: rsqrt of bf16 running
+        # stats would add ~1% scale error on top of the activation rounding
+        f32 = jnp.float32
+        scale = weight.astype(f32) * jax.lax.rsqrt(var.astype(f32) + 1e-5)
+        offset = bias.astype(f32) - mean.astype(f32) * scale
+        return x * scale.astype(x.dtype) + offset.astype(x.dtype)
 
 
 class Conv(nn.Module):
@@ -136,4 +140,6 @@ class ResNetC5Head(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = ResStage(512, self.blocks, stride=2,
                      stride_in_1x1=self.stride_in_1x1, name="layer4")(x)
-        return jnp.mean(h, axis=(1, 2))
+        # accumulate the 7x7 pool in fp32 (XLA fuses the convert into the
+        # reduce); a bf16 49-element mean costs ~1% relative error
+        return jnp.mean(h.astype(jnp.float32), axis=(1, 2)).astype(h.dtype)

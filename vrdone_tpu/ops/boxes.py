@@ -152,19 +152,35 @@ def roi_align(features: Array, rois: Array, *, spatial_scale: float,
     x_lo, x_hi, fx = bilinear(xs, w)          # (R, ow*sr)
 
     # Separable bilinear sampling as two einsums over one-hot weight
-    # matrices: pooled[r,c,s,t] = sum_hw Wy[r,s,h] Wx[r,t,w] feat[c,h,w].
+    # matrices: pooled[r,c,i,j] = sum_hw Wy[r,i,h] Wx[r,j,w] feat[c,h,w].
     # Exactly the same math as 4-point gather+lerp, but it runs on the
     # MXU instead of XLA gather, which is the difference between ~55 ms
     # and ~2 ms per frame for 300 rois at 14x14 on a (1024, 38, 68) map.
+    #
+    # The sr x sr sample average is folded INTO the weight matrices
+    # (bilinear sampling and averaging are both linear, so they commute):
+    # rows go oh*sr -> oh before the contraction, shrinking the (R, bins,
+    # C, spatial) intermediate sr^2-fold — it measured ~1.2 GB/frame at
+    # the 300-roi serving shape. The wider spatial dim contracts first so
+    # the intermediate keeps the narrower one.
     wy = ((1.0 - fy)[..., None] * jax.nn.one_hot(y_lo, h, dtype=fy.dtype)
           + fy[..., None] * jax.nn.one_hot(y_hi, h, dtype=fy.dtype))
     wx = ((1.0 - fx)[..., None] * jax.nn.one_hot(x_lo, w, dtype=fx.dtype)
           + fx[..., None] * jax.nn.one_hot(x_hi, w, dtype=fx.dtype))
-    tmp = jnp.einsum("rsh,chw->rscw", wy, features)
-    vals = jnp.einsum("rtw,rscw->rcst", wx, tmp)   # (R, C, S_y, S_x)
     r = rois.shape[0]
-    # average sr x sr samples per bin
-    out = vals.reshape(r, c, oh, sr, ow, sr).mean(axis=(3, 5))
+    wy = wy.reshape(r, oh, sr, h).mean(axis=2)
+    wx = wx.reshape(r, ow, sr, w).mean(axis=2)
+    # weights are built in roi precision (fp32) then cast to the feature
+    # dtype so a bf16 feature map stays bf16 through the einsums (mixed
+    # dtypes would promote the whole pooled tensor back to fp32)
+    wy = wy.astype(features.dtype)
+    wx = wx.astype(features.dtype)
+    if w >= h:
+        tmp = jnp.einsum("rjw,chw->rjch", wx, features)
+        out = jnp.einsum("rih,rjch->rcij", wy, tmp)    # (R, C, oh, ow)
+    else:
+        tmp = jnp.einsum("rih,chw->ricw", wy, features)
+        out = jnp.einsum("rjw,ricw->rcij", wx, tmp)
     # torchvision zeroes samples fully outside; with clipping semantics the
     # edge behaviour matches for rois inside the image (our usage: clamped
     # boxes), which golden tests assert
