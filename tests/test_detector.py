@@ -149,6 +149,57 @@ def test_bf16_precompute_parity():
 
 
 @pytest.mark.slow
+def test_bf16_stream_parity():
+    """bf16 streaming set-attention tracks the fp32 scan on FIXED fc0
+    inputs (deterministic — no RPN/NMS in the loop)."""
+    from vrdone_tpu.models.detector import make_mega_head
+    from vrdone_tpu.models.mega import (BoxSet, MEGAHead, flatten_set,
+                                        global_indices, stream_video)
+
+    det = _tiny_detector()
+    head = make_mega_head(det)
+    rng = np.random.default_rng(12)
+    t, nk, nb, d = 4, 6, 4, 1024
+    feats = rng.standard_normal((t, nb, d)).astype(np.float32)
+    kfeats = rng.standard_normal((t, nk, d)).astype(np.float32)
+
+    def boxes(n):
+        xy = rng.uniform(0, 60, (t, n, 2))
+        return np.concatenate([xy, xy + rng.uniform(5, 30, (t, n, 2))],
+                              axis=-1).astype(np.float32)
+
+    krois, rrois = boxes(nk), boxes(nb)
+    kvalid = np.ones((t, nk), bool)
+    rvalid = np.ones((t, nb), bool)
+    # init through enhance WITH a global set so the lazy GroupedLinear
+    # g_Wv params materialize (setup only declares the submodules)
+    glob0 = flatten_set(BoxSet(jnp.asarray(feats[:2]),
+                               jnp.asarray(rrois[:2]),
+                               jnp.asarray(rvalid[:2])))
+    params = head.init(jax.random.key(0), jnp.asarray(kfeats[0]),
+                       jnp.asarray(krois[0]), jnp.asarray(kvalid[0]),
+                       BoxSet(jnp.asarray(feats[:2]),
+                              jnp.asarray(rrois[:2]),
+                              jnp.asarray(rvalid[:2])),
+                       None, glob0, key_is_fc0=True,
+                       method=MEGAHead.enhance)
+    gi = global_indices(t, 2)
+
+    kw = dict(key_feat=jnp.asarray(kfeats), key_rois=jnp.asarray(krois),
+              key_valid=jnp.asarray(kvalid), key_is_fc0=True,
+              ref_feat=jnp.asarray(feats), ref_rois=jnp.asarray(rrois),
+              ref_valid=jnp.asarray(rvalid), mem_size=det.window,
+              window=det.window, key_loc=det.key_loc, glob_idx=gi)
+    v32 = np.asarray(stream_video(head, params, **kw))
+    v16 = np.asarray(stream_video(head, params, compute_dtype="bfloat16",
+                                  **kw))
+    assert v16.dtype == np.float32
+    scale = np.abs(v32).max()
+    assert np.abs(v16 - v32).max() < 0.05 * scale
+    assert np.abs(v16 - v32).mean() < 0.005 * scale
+
+
+@pytest.mark.slow
 def test_gt_feature_extraction_path():
     det = _tiny_detector()
     rng = np.random.default_rng(5)

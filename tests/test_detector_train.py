@@ -1,6 +1,8 @@
 """Detector training-objective tests: matcher, sampler, losses, and a
 gradient smoke through the full per-image loss."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -160,56 +162,90 @@ def test_mega_detector_losses_end_to_end_grad():
         "memory frames don't affect the training loss"
 
 
+_DP_MESH_SCRIPT = '''
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vrdone_tpu.models import detector_train as DT
+from vrdone_tpu.models.detector import MegaDetector
+from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+
+det = MegaDetector(num_classes=5, resnet_layers=(1, 1, 1),
+                   stage=2, groups=4, base_num=4, window=3,
+                   key_loc=1, global_size=2)
+rng = np.random.default_rng(3)
+b, h, w = 8, 64, 96
+batch = {
+    "key": rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32),
+    "local": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
+    "mem": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
+    "glob": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
+    "gt_boxes": np.tile(np.array([[[10, 10, 50, 40]]], np.float32),
+                        (b, 1, 1)),
+    "gt_labels": np.full((b, 1), 2, np.int32),
+    "gt_valid": np.ones((b, 1), bool),
+}
+hw = jnp.asarray([h, w])
+
+params = DT.init_train_params(
+    det, jax.random.key(0), jnp.asarray(batch["key"][0]),
+    jnp.asarray(batch["local"][0]), jnp.asarray(batch["mem"][0]),
+    jnp.asarray(batch["glob"][0]), hw, post_nms_top_n=8)
+
+mesh = make_mesh(n_dp=8, n_tp=1)
+tx = optax.sgd(1e-3, momentum=0.9)
+opt_state = tx.init(params)
+step = DT.make_detector_train_step(det, tx, image_hw=(h, w),
+                                   post_nms_top_n=8)
+
+with mesh:
+    sharded = shard_batch(mesh, {k: jnp.asarray(v)
+                                 for k, v in batch.items()})
+    p0 = jax.tree.map(lambda x: np.asarray(x), params)
+    params2, opt_state, losses = step(params, opt_state, sharded,
+                                      jax.random.key(1))
+total = float(losses["total_loss"])
+assert np.isfinite(total), {k: float(v) for k, v in losses.items()}
+moved = max(float(np.abs(np.asarray(bb) - a).max())
+            for a, bb in zip(jax.tree.leaves(p0),
+                             jax.tree.leaves(params2)))
+assert moved > 0
+print(f"DP_MESH_OK total={total:.4f} moved={moved:.3e}")
+'''
+
+
 @pytest.mark.slow
-def test_detector_train_step_dp_mesh():
+def test_detector_train_step_dp_mesh(tmp_path):
     """Data-parallel detector training on the 8-device CPU mesh: the
     batch axis is sharded over dp, the step runs, losses are finite, and
-    parameters actually move (gradient all-reduce inserted by XLA)."""
-    import optax
+    parameters actually move (gradient all-reduce inserted by XLA).
 
-    from vrdone_tpu.models.detector import MegaDetector
-    from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+    Runs hermetically in a subprocess: inside a long full-suite pytest
+    process this step nondeterministically SIGABRTs in the XLA:CPU
+    runtime (state accumulated by earlier test files; it always passes
+    standalone). A fresh backend per run removes the flake without
+    weakening the assertion."""
+    import subprocess
+    import sys
 
-    det = MegaDetector(num_classes=5, resnet_layers=(1, 1, 1),
-                       stage=2, groups=4, base_num=4, window=3,
-                       key_loc=1, global_size=2)
-    rng = np.random.default_rng(3)
-    b, h, w = 8, 64, 96
-    batch = {
-        "key": rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32),
-        "local": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
-        "mem": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
-        "glob": rng.uniform(0, 255, (b, 1, h, w, 3)).astype(np.float32),
-        "gt_boxes": np.tile(np.array([[[10, 10, 50, 40]]], np.float32),
-                            (b, 1, 1)),
-        "gt_labels": np.full((b, 1), 2, np.int32),
-        "gt_valid": np.ones((b, 1), bool),
-    }
-    hw = jnp.asarray([h, w])
-
-    params = DT.init_train_params(
-        det, jax.random.key(0), jnp.asarray(batch["key"][0]),
-        jnp.asarray(batch["local"][0]), jnp.asarray(batch["mem"][0]),
-        jnp.asarray(batch["glob"][0]), hw, post_nms_top_n=8)
-
-    mesh = make_mesh(n_dp=8, n_tp=1)
-    tx = optax.sgd(1e-3, momentum=0.9)
-    opt_state = tx.init(params)
-    step = DT.make_detector_train_step(det, tx, image_hw=(h, w),
-                                       post_nms_top_n=8)
-
-    with mesh:
-        sharded = shard_batch(mesh, {k: jnp.asarray(v)
-                                     for k, v in batch.items()})
-        p0 = jax.tree.map(lambda x: np.asarray(x), params)
-        params2, opt_state, losses = step(params, opt_state, sharded,
-                                          jax.random.key(1))
-    total = float(losses["total_loss"])
-    assert np.isfinite(total), {k: float(v) for k, v in losses.items()}
-    moved = max(float(np.abs(np.asarray(b) - a).max())
-                for a, b in zip(jax.tree.leaves(p0),
-                                jax.tree.leaves(params2)))
-    assert moved > 0
+    script = tmp_path / "dp_mesh.py"
+    script.write_text(_DP_MESH_SCRIPT)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run([sys.executable, str(script)], env=env,
+                          capture_output=True, text=True, timeout=3000)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "DP_MESH_OK" in proc.stdout, proc.stdout + proc.stderr
 
 
 def test_graft_backbone_and_finetune_restore(tmp_path):

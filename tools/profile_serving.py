@@ -87,7 +87,7 @@ def measure(frames: int = 30, canvas=(608, 1088), chunk: int = 4,
                          key_is_fc0=True, ref_feat=rf, ref_rois=rb,
                          ref_valid=rv, mem_size=det.window,
                          window=det.window, key_loc=det.key_loc,
-                         glob_idx=glob_idx)
+                         glob_idx=glob_idx, compute_dtype=dtype)
         np.asarray(v[0, 0, :4])
         return v
 

@@ -341,7 +341,8 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
         key_feat=kf, key_rois=kb, key_valid=kv, key_is_fc0=True,
         ref_feat=rf, ref_rois=rb, ref_valid=rv,
         mem_size=det.window, window=det.window,
-        key_loc=det.key_loc, glob_idx=glob_idx)
+        key_loc=det.key_loc, glob_idx=glob_idx,
+        compute_dtype=compute_dtype)
 
     cls_logits, bbox_deltas = _predict_jit(det)(
         params, visual.reshape(-1, 1024))
@@ -406,7 +407,8 @@ def extract_video_features(det: MegaDetector, params, images, rois, valid,
         ref_feat=fc0, ref_rois=jnp.asarray(rois),
         ref_valid=jnp.asarray(valid),
         mem_size=det.window, window=det.window,
-        key_loc=det.key_loc, glob_idx=glob_idx)
+        key_loc=det.key_loc, glob_idx=glob_idx,
+        compute_dtype=compute_dtype)
     return np.asarray(out)
 
 

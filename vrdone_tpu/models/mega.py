@@ -207,18 +207,26 @@ class MEGAHead(nn.Module):
 
         if ver != "global":
             # log-added geometric bias through Wg (reference :592-597,:630)
+            # geometry/bias math always runs fp32 (rois are fp32; a bf16
+            # log-bias drifts attention under bf16 streaming) and is cast
+            # to the compute dtype only at the add
             if self.fused_pe_bias and not self.is_initializing():
                 from vrdone_tpu.ops.pallas.position_bias import (
                     fused_position_bias)
                 wg_p = self.l_Wgs[index].variables["params"]
-                aff = aff + fused_position_bias(
-                    rois, ref.rois, wg_p["kernel"], wg_p["bias"],
+                bias = fused_position_bias(
+                    rois, ref.rois,
+                    wg_p["kernel"].astype(jnp.float32),
+                    wg_p["bias"].astype(jnp.float32),
                     embed_dim=self.embed_dim,
                     interpret=jax.default_backend() == "cpu")
             else:
+                # pe is fp32 (built from fp32 rois), so the Dense promotes
+                # to fp32 even under bf16 params
                 pe = cal_position_embedding(rois, ref.rois, self.embed_dim)
                 wg = jax.nn.relu(self.l_Wgs[index](pe))          # (N, M, g)
-                aff = aff + jnp.log(wg + 1e-6).transpose(2, 0, 1)
+                bias = jnp.log(wg + 1e-6).transpose(2, 0, 1)
+            aff = aff + bias.astype(aff.dtype)
 
         aff = jnp.where(ref.valid[None, None, :], aff, NEG_INF)
         att = jax.nn.softmax(aff, axis=-1)                       # (g, N, M)
@@ -415,10 +423,11 @@ class MegaStreamState(NamedTuple):
 
 
 def init_stream_state(stage: int, mem_size: int, base_num: int,
-                      advanced_num: int, feat_dim: int) -> MegaStreamState:
+                      advanced_num: int, feat_dim: int,
+                      dtype=jnp.float32) -> MegaStreamState:
     ns = [base_num] + [advanced_num] * (stage - 1)
     return MegaStreamState(
-        tuple(jnp.zeros((mem_size, n, feat_dim), jnp.float32) for n in ns),
+        tuple(jnp.zeros((mem_size, n, feat_dim), dtype) for n in ns),
         tuple(jnp.zeros((mem_size, n, 4), jnp.float32) for n in ns),
         tuple(jnp.zeros((mem_size, n), bool) for n in ns))
 
@@ -463,17 +472,29 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=None)
 def _stream_jit(head: MEGAHead, mem_size: int, window: int, key_loc: int,
-                key_is_fc0: bool, use_glob: bool):
+                key_is_fc0: bool, use_glob: bool,
+                compute_dtype: str = "float32"):
     """One compiled scan per (head config, schedule knobs); params and
     the per-video arrays are arguments, so every same-shaped video
-    reuses the program (the per-video serving loop must not re-trace)."""
+    reuses the program (the per-video serving loop must not re-trace).
+
+    compute_dtype="bfloat16" runs the set-attention scan in bf16 (params,
+    features, and the ring-buffer memories; rois and the softmax mask
+    math keep their types) and returns fp32 — the serving fast path."""
+    dt = jnp.dtype(compute_dtype)
 
     @jax.jit
     def run(params, key_feat, key_rois, key_valid, ref_feat, ref_rois,
             ref_valid, glob_idx):
+        if dt != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(dt) if x.dtype == jnp.float32 else x,
+                params)
+            key_feat = key_feat.astype(dt)
+            ref_feat = ref_feat.astype(dt)
         t_total, b, d = ref_feat.shape
         state = init_stream_state(head.stage, mem_size, b,
-                                  head.advanced_num, d)
+                                  head.advanced_num, d, dtype=dt)
         seg_len = jnp.int32(t_total)
 
         def step(carry, t):
@@ -515,7 +536,7 @@ def _stream_jit(head: MEGAHead, mem_size: int, window: int, key_loc: int,
             return st, out
 
         _, outs = jax.lax.scan(step, state, jnp.arange(t_total))
-        return outs
+        return outs.astype(jnp.float32)
 
     return run
 
@@ -524,7 +545,8 @@ def stream_video(head: MEGAHead, params, *, key_feat: Array,
                  key_rois: Array, key_valid: Array, key_is_fc0: bool,
                  ref_feat: Array, ref_rois: Array, ref_valid: Array,
                  mem_size: int = 25, window: int = 25, key_loc: int = 12,
-                 glob_idx: np.ndarray | None = None) -> Array:
+                 glob_idx: np.ndarray | None = None,
+                 compute_dtype: str = "float32") -> Array:
     """Enhance every frame of a video with full MEGA semantics.
 
     key_feat: (T, Nk, .) the per-frame key proposal sets — raw pooled
@@ -542,7 +564,7 @@ def stream_video(head: MEGAHead, params, *, key_feat: Array,
     """
     use_glob = glob_idx is not None and head.global_enable
     run = _stream_jit(head, mem_size, window, key_loc, key_is_fc0,
-                      use_glob)
+                      use_glob, compute_dtype)
     if use_glob:
         gi = jnp.asarray(glob_idx)
     else:  # fixed arity for the cached jit; traced but unused
