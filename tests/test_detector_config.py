@@ -128,7 +128,8 @@ def test_all_method_presets_parse():
     assert set(by_method) == {"base", "mega", "rdn", "fgfa", "dff"}
     for method, entries in by_method.items():
         for name, cfg in entries:
-            assert cfg.resnet_layers == (3, 4, 23), name
+            expect_layers = (3, 4, 6) if "_r50" in name else (3, 4, 23)
+            assert cfg.resnet_layers == expect_layers, name
             assert cfg.min_size_train == (600,), name
             assert cfg.max_size_train == 1000, name
             assert cfg.base_lr == 0.001, name
@@ -136,6 +137,18 @@ def test_all_method_presets_parse():
     rdn_cfgs = {n: c for n, c in by_method["rdn"]}
     assert rdn_cfgs["rdn_vidvrd.yaml"].advanced_stage == 1
     assert rdn_cfgs["rdn_base_vidvrd.yaml"].advanced_stage == 0
+    # corpus presets resolve their detector class count from DATASETS /
+    # NUM_CLASSES (vidor.py:20 81 entries incl. bg; vidvrd.py:20 36)
+    mega_cfgs = {n: c for n, c in by_method["mega"]}
+    assert mega_cfgs["mega_vidor.yaml"].num_classes == 80
+    assert mega_cfgs["mega_vidor_4gpu.yaml"].num_classes == 80
+    assert mega_cfgs["mega_vidor_4gpu.yaml"].max_iter == 180000
+    assert mega_cfgs["mega_vidvrd_finetune.yaml"].num_classes == 35
+    assert mega_cfgs["mega_vidvrd_finetune.yaml"].max_iter == 210000
+    assert mega_cfgs["mega_vidvrd_finetune.yaml"].datasets_train == (
+        "VidVRDtrain_freq5",)
+    assert mega_cfgs["mega_vid_r50.yaml"].num_classes == 30
+    assert mega_cfgs["mega_vid_r50.yaml"].global_res_stage == 0
 
 
 def test_reference_base_and_input_yaml():
@@ -146,5 +159,17 @@ def test_reference_base_and_input_yaml():
     assert cfg.min_size_train == (600,)
     assert cfg.max_size_train == 1000
     assert cfg.steps == (80000,)
+    # BASE_RCNN_2gpu declares NUM_CLASSES 81 incl. background
+    assert cfg.num_classes == 80
+    assert cfg.datasets_train == ("DET_train_30classes",
+                                  "VID_train_15frames")
     # defaults when INPUT is absent
     assert DetectorConfig().min_size_train == (800,)
+
+    # the reference's own VidOR MEGA recipe resolves the corpus class
+    # count from its DATASETS tuple (python-tuple string form)
+    vcfg = load_detector_config("/root/reference/datasets/mega/configs/"
+                                "MEGA/vidor_R_101_C4_MEGA_1x.yaml")
+    assert vcfg.num_classes == 80
+    assert vcfg.datasets_test == ("VidORval_freq2",)
+    assert vcfg.max_iter == 150000

@@ -380,58 +380,96 @@ def _method_det_and_batch(method, b=8, h=64, w=96):
     return det, batch
 
 
+_METHOD_DP_SCRIPT = '''
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, {tests_dir!r})
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vrdone_tpu.models import detector_train as DT
+from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+from test_detector_train import _method_det_and_batch
+
+method = {method!r}
+h, w = 64, 96
+det, batch = _method_det_and_batch(method, h=h, w=w)
+hw = jnp.asarray([h, w])
+sample = {{"key": jnp.asarray(batch["key"][0]),
+           "ref": jnp.asarray(batch["ref"][0])}}
+params = DT.init_method_train_params(method, det, jax.random.key(0),
+                                     sample, hw, post_nms_top_n=8)
+
+# the method machinery gets gradient (not dead compute)
+grad_key = {{"base": None, "rdn": "rdn", "fgfa": "fgfa",
+             "dff": "dff"}}[method]
+
+def loss_fn(params):
+    out = DT.method_detector_losses(
+        method, det, params, sample, hw,
+        jnp.asarray(batch["gt_boxes"][0]),
+        jnp.asarray(batch["gt_labels"][0]),
+        jnp.asarray(batch["gt_valid"][0]), jax.random.key(1),
+        post_nms_top_n=8)
+    return out["total_loss"]
+
+grads = jax.jit(jax.grad(loss_fn))(params)
+if grad_key is not None:
+    gnorm = sum(float(jnp.abs(g).sum())
+                for g in jax.tree.leaves(grads["params"][grad_key]))
+    assert gnorm > 0, f"{{grad_key}} got zero gradient"
+
+mesh = make_mesh(n_dp=8, n_tp=1)
+tx = optax.sgd(1e-3, momentum=0.9)
+opt_state = tx.init(params)
+step = DT.make_method_train_step(method, det, tx, image_hw=(h, w),
+                                 post_nms_top_n=8)
+with mesh:
+    sharded = shard_batch(mesh, {{k: jnp.asarray(v)
+                                  for k, v in batch.items()}})
+    p0 = jax.tree.map(lambda x: np.asarray(x), params)
+    params2, opt_state, losses = step(params, opt_state, sharded,
+                                      jax.random.key(2))
+total = float(losses["total_loss"])
+assert np.isfinite(total), {{k: float(v) for k, v in losses.items()}}
+moved = max(float(np.abs(np.asarray(b2) - a).max())
+            for a, b2 in zip(jax.tree.leaves(p0),
+                             jax.tree.leaves(params2)))
+assert moved > 0
+print(f"METHOD_DP_OK total={{total:.4f}} moved={{moved:.3e}}")
+'''
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["base", "rdn", "fgfa", "dff"])
-def test_method_train_step_dp_mesh(method):
+def test_method_train_step_dp_mesh(method, tmp_path):
     """VERDICT r2 item 2: every non-MEGA VID.METHOD has a training path.
     dp-mesh train step per method: finite losses, parameters move, and
     the method-specific machinery receives gradient (flownet for
-    fgfa/dff, the RDN attention head for rdn)."""
-    import optax
+    fgfa/dff, the RDN attention head for rdn).
 
-    from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
+    Runs hermetically in a subprocess, like test_detector_train_step_
+    dp_mesh above: inside a long full-suite pytest process the mesh
+    step nondeterministically SIGABRTs in the XLA:CPU runtime (always
+    passes standalone; reproduced on an unmodified tree 2026-08-18)."""
+    import subprocess
+    import sys
 
-    h, w = 64, 96
-    det, batch = _method_det_and_batch(method, h=h, w=w)
-    hw = jnp.asarray([h, w])
-    sample = {"key": jnp.asarray(batch["key"][0]),
-              "ref": jnp.asarray(batch["ref"][0])}
-    params = DT.init_method_train_params(method, det, jax.random.key(0),
-                                         sample, hw, post_nms_top_n=8)
-
-    # the method machinery gets gradient (not dead compute)
-    grad_key = {"base": None, "rdn": "rdn", "fgfa": "fgfa", "dff": "dff"}[
-        method]
-
-    def loss_fn(params):
-        out = DT.method_detector_losses(
-            method, det, params, sample, hw,
-            jnp.asarray(batch["gt_boxes"][0]),
-            jnp.asarray(batch["gt_labels"][0]),
-            jnp.asarray(batch["gt_valid"][0]), jax.random.key(1),
-            post_nms_top_n=8)
-        return out["total_loss"]
-
-    grads = jax.jit(jax.grad(loss_fn))(params)
-    if grad_key is not None:
-        gnorm = sum(float(jnp.abs(g).sum())
-                    for g in jax.tree.leaves(grads["params"][grad_key]))
-        assert gnorm > 0, f"{grad_key} got zero gradient"
-
-    mesh = make_mesh(n_dp=8, n_tp=1)
-    tx = optax.sgd(1e-3, momentum=0.9)
-    opt_state = tx.init(params)
-    step = DT.make_method_train_step(method, det, tx, image_hw=(h, w),
-                                     post_nms_top_n=8)
-    with mesh:
-        sharded = shard_batch(mesh, {k: jnp.asarray(v)
-                                     for k, v in batch.items()})
-        p0 = jax.tree.map(lambda x: np.asarray(x), params)
-        params2, opt_state, losses = step(params, opt_state, sharded,
-                                          jax.random.key(2))
-    total = float(losses["total_loss"])
-    assert np.isfinite(total), {k: float(v) for k, v in losses.items()}
-    moved = max(float(np.abs(np.asarray(b2) - a).max())
-                for a, b2 in zip(jax.tree.leaves(p0),
-                                 jax.tree.leaves(params2)))
-    assert moved > 0
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    script = tmp_path / f"method_dp_{method}.py"
+    script.write_text(_METHOD_DP_SCRIPT.format(tests_dir=tests_dir,
+                                               method=method))
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(tests_dir))
+    proc = subprocess.run([sys.executable, str(script)], env=env,
+                          capture_output=True, text=True, timeout=3000)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "METHOD_DP_OK" in proc.stdout, proc.stdout + proc.stderr

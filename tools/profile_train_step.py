@@ -48,10 +48,23 @@ def build_batch(cfg, c, p, g=9):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None):
+def _drain(out):
+    """Force remote execution + completion via a tiny D2H read
+    (block_until_ready is unreliable over the axon tunnel — see
+    DEVNOTES "Bench methodology")."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[:1])
+
+
+def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None,
+            remat=None, remat_policy=None):
+    from dataclasses import replace
     if dtype:
-        from dataclasses import replace
         cfg = replace(cfg, compute_dtype=dtype)
+    if remat is not None:
+        cfg = replace(cfg, remat=remat)
+    if remat_policy is not None:
+        cfg = replace(cfg, remat_policy=remat_policy)
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
     from vrdone_tpu.train.loop import (commit_state, create_train_state,
                                        make_jitted_train_step)
@@ -69,14 +82,14 @@ def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None):
     sharded = shard_batch(mesh, jb)
     t0 = time.perf_counter()
     state, losses = step_fn(state, sharded, jax.random.key(1))
-    jax.block_until_ready(losses)
+    _drain(losses)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(n_iter):
         state, losses = step_fn(state, sharded, jax.random.fold_in(
             jax.random.key(2), i))
-    jax.block_until_ready(losses)
+    _drain(losses)
     dt = (time.perf_counter() - t0) / n_iter
 
     rec = {"pairs": pairs, "step_ms": round(dt * 1e3, 2),
@@ -102,7 +115,7 @@ def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None):
         for i in range(5):
             state, losses = step_fn(state, sharded, jax.random.fold_in(
                 jax.random.key(4), i))
-        jax.block_until_ready(losses)
+        _drain(losses)
         jax.profiler.stop_trace()
         rec["trace_dir"] = trace_dir
     return rec
@@ -115,17 +128,46 @@ def main():
     p.add_argument("--trace_pairs", type=int, default=96)
     p.add_argument("--dtype", default=None,
                    help="override cfg.compute_dtype (e.g. bfloat16)")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize the forward in the backward")
+    p.add_argument("--remat_policy", default=None,
+                   choices=[None, "full", "dots"])
+    p.add_argument("--config", default=None,
+                   help="YAML config path (e.g. configs/vidor_local.yaml)"
+                        " instead of the flagship VidVRD config")
+    p.add_argument("--pallas_min_t", type=int, default=None,
+                   help="override ops.masked.PALLAS_BAND_MIN_T (engage "
+                        "the band kernel at shorter T, e.g. 512)")
     args = p.parse_args()
 
+    if args.pallas_min_t is not None:
+        from vrdone_tpu.ops import masked
+        masked.PALLAS_BAND_MIN_T = args.pallas_min_t
+
     import __graft_entry__ as g
-    cfg = g._vidvrd_cfg()
-    c = g._feat_dim(cfg)
+    if args.config:
+        from vrdone_tpu.config import (load_yaml_config,
+                                       model_config_from_yaml)
+        yc = load_yaml_config(args.config)
+        yc["dataset_config"].update(yc["training_dataset_config"])
+        cfg = model_config_from_yaml(yc)
+        c = g._feat_dim(cfg)
+    else:
+        cfg = g._vidvrd_cfg()
+        c = g._feat_dim(cfg)
     for pairs in args.pairs:
         td = (args.trace_dir if args.trace_dir
               and pairs == args.trace_pairs else None)
-        rec = measure(cfg, c, pairs, trace_dir=td, dtype=args.dtype)
+        rec = measure(cfg, c, pairs, trace_dir=td, dtype=args.dtype,
+                      remat=args.remat, remat_policy=args.remat_policy)
         if args.dtype:
             rec["compute_dtype"] = args.dtype
+        if args.remat:
+            rec["remat"] = args.remat_policy or "full"
+        if args.config:
+            rec["config"] = args.config
+        if args.pallas_min_t is not None:
+            rec["pallas_min_t"] = args.pallas_min_t
         print(json.dumps(rec), flush=True)
 
 

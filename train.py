@@ -44,8 +44,18 @@ def parse_args():
     p.add_argument("--scale", default=None, type=int)
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=[None, "float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize the forward in the backward")
+    p.add_argument("--remat_policy", type=str, default=None,
+                   choices=[None, "full", "dots"],
+                   help="remat policy (dots = save matmul outputs, "
+                        "recompute elementwise chains)")
     p.add_argument("--n_dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--n_sp", type=int, default=1,
+                   help="sequence-parallel mesh size (shards the time "
+                        "axis of long-video batches over the mesh; "
+                        "n_dp x n_sp devices are used)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write an xplane profiler trace of steps 10-20")
     p.add_argument("--multihost", action="store_true", default=False,
@@ -73,6 +83,10 @@ def main():
     config["dataset_config"].update(config["training_dataset_config"])
     if args.compute_dtype:
         config["model_config"]["compute_dtype"] = args.compute_dtype
+    if args.remat:
+        config["model_config"]["remat"] = True
+    if args.remat_policy:
+        config["model_config"]["remat_policy"] = args.remat_policy
     model_cfg = model_config_from_yaml(config)
 
     os.makedirs(args.exp_dir, exist_ok=True)
@@ -102,7 +116,7 @@ def main():
     steps_per_epoch = loader.steps_per_epoch()
     logger.info(f"Pairs per step: {pack_size}; steps/epoch: {steps_per_epoch}")
 
-    mesh = make_mesh(n_dp=args.n_dp)
+    mesh = make_mesh(n_dp=args.n_dp, n_sp=args.n_sp)
     logger.info(f"Mesh: {mesh}")
 
     sample = {

@@ -82,6 +82,12 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # rematerialize the forward in the backward pass (memory for FLOPs)
     remat: bool = False
+    # remat policy when remat is on: "full" recomputes everything;
+    # "dots" saves matmul outputs and recomputes only elementwise chains
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — the
+    # right trade when the step is HBM-bandwidth-bound rather than
+    # memory-capacity-bound
+    remat_policy: str = "full"
 
     @property
     def mha_win_size(self) -> tuple[int, ...]:

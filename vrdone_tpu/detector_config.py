@@ -69,6 +69,11 @@ class DetectorConfig:
     # INPUT (defaults.py:43-45; the MEGA recipes override to (600,)/1000)
     min_size_train: tuple[int, ...] = (800,)
     max_size_train: int = 1333
+    # DATASETS (defaults.py DATASETS.TRAIN/TEST; names resolved by the
+    # reference's paths_catalog — here kept as labels for the training
+    # tools and used to infer the corpus class count)
+    datasets_train: tuple[str, ...] = ()
+    datasets_test: tuple[str, ...] = ()
     # TEST
     detections_per_img: int = 300
 
@@ -171,9 +176,12 @@ def load_detector_config(path: str, **overrides) -> DetectorConfig:
             up[name] = v
     def _tuple(v):
         if isinstance(v, str):
-            # yacs evals python-tuple strings like "(100000, )"
-            import ast
-            v = ast.literal_eval(v)
+            # yacs evals python-tuple strings like "(100000, )"; bare
+            # strings (a single dataset name) pass through as-is
+            s = v.strip()
+            if s.startswith(("(", "[")):
+                import ast
+                v = ast.literal_eval(s)
         return tuple(v) if isinstance(v, (list, tuple)) else (v,)
 
     steps = _get(raw, "SOLVER", "STEPS")
@@ -185,6 +193,30 @@ def load_detector_config(path: str, **overrides) -> DetectorConfig:
     mxt = _get(raw, "INPUT", "MAX_SIZE_TRAIN")
     if mxt is not None:
         up["max_size_train"] = int(mxt)
+
+    # DATASETS.TRAIN/TEST: yacs python-tuple strings of catalog names
+    # (reference paths_catalog.py). The names fix the corpus — and with
+    # it the detector class count (vidor.py:20 81 entries incl. bg;
+    # vidvrd.py:20 36 entries) — unless num_classes is overridden.
+    for field, key in (("datasets_train", "TRAIN"),
+                       ("datasets_test", "TEST")):
+        v = _get(raw, "DATASETS", key)
+        if v is not None:
+            up[field] = tuple(str(s) for s in _tuple(v))
+    names = " ".join(up.get("datasets_train", ())
+                     + up.get("datasets_test", ())).lower()
+    if "vidor" in names:
+        up["num_classes"] = 80
+    elif "vidvrd" in names:
+        up["num_classes"] = 35
+    elif "vid_" in names or "det_" in names:
+        up["num_classes"] = 30    # ImageNet VID (defaults.py NUM_CLASSES 31)
+    # explicit MODEL.ROI_BOX_HEAD.NUM_CLASSES wins (the reference counts
+    # background there — BASE_RCNN_2gpu.yaml:16 "81 ... including
+    # background" — while num_classes here is foreground-only)
+    nc = _get(raw, "MODEL", "ROI_BOX_HEAD", "NUM_CLASSES")
+    if nc is not None:
+        up["num_classes"] = int(nc) - 1
 
     up.update({k: v for k, v in overrides.items() if v is not None})
     return replace(cfg, **up)

@@ -46,8 +46,13 @@ class BaseDetector(nn.Module):
                                name="c5")
         self.head = TwoFCHead(self.num_classes, name="head")
 
-    def features(self, images: Array) -> Array:
-        return self.backbone(images - self._pixel_mean)
+    def features(self, images: Array,
+                 compute_dtype=jnp.float32) -> Array:
+        """compute_dtype=bfloat16 runs the backbone at half the
+        activation bandwidth (pass bf16-cast params alongside)."""
+        x = (images.astype(jnp.float32)
+             - self._pixel_mean).astype(compute_dtype)
+        return self.backbone(x)
 
     def pooled(self, feat_map: Array, boxes: Array) -> Array:
         """RoIAlign(14x14) on a (h, w, C) map -> C5 -> (R, 2048)."""
@@ -59,41 +64,54 @@ class BaseDetector(nn.Module):
     def detect_on(self, feat_map: Array, image_hw, *,
                   post_nms_top_n: int = 300):
         """RPN + head on a (1, h, w, C) feature map (shared with the
-        FGFA/DFF drivers' shape of result)."""
+        FGFA/DFF drivers' shape of result). Box decode + NMS always run
+        fp32 (bf16 coords on a ~1000px canvas quantize to ~4px); the
+        returned logits/deltas are fp32 regardless of compute dtype."""
         logits, deltas = self.rpn_head(feat_map)
         hp, wp = logits.shape[1], logits.shape[2]
         anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
         boxes, scores, valid = rpn_lib.select_proposals(
-            anchors, logits[0].reshape(-1), deltas[0].reshape(-1, 4),
+            anchors, logits[0].reshape(-1).astype(jnp.float32),
+            deltas[0].reshape(-1, 4).astype(jnp.float32),
             image_hw, pre_nms_top_n=6000, post_nms_top_n=post_nms_top_n)
         pooled = self.pooled(feat_map[0], boxes)
         cls_logits, bbox_deltas = self.head(pooled)
         return {"proposals": boxes, "proposal_scores": scores,
-                "valid": valid, "cls_logits": cls_logits,
-                "bbox_deltas": bbox_deltas}
+                "valid": valid,
+                "cls_logits": cls_logits.astype(jnp.float32),
+                "bbox_deltas": bbox_deltas.astype(jnp.float32)}
 
     def detect_frame(self, image: Array, image_hw, *,
-                     post_nms_top_n: int = 300):
-        """image: (H, W, 3) raw BGR pixels."""
-        return self.detect_on(self.features(image[None]), image_hw,
-                              post_nms_top_n=post_nms_top_n)
+                     post_nms_top_n: int = 300,
+                     compute_dtype=jnp.float32):
+        """image: (H, W, 3) raw BGR pixels (uint8 fine; cast on device)."""
+        return self.detect_on(
+            self.features(image[None], compute_dtype=compute_dtype),
+            image_hw, post_nms_top_n=post_nms_top_n)
 
 
 def base_detect_video(det: BaseDetector, params, images, image_hw, *,
-                      post_nms_top_n: int = 300):
+                      post_nms_top_n: int = 300,
+                      compute_dtype: str = "float32"):
     """Frame-independent detection over a video (the base method has no
     temporal state — reference generalized_rcnn.py processes each frame
-    alone). images: (T, H, W, 3) array or indexable frame sequence."""
+    alone). images: (T, H, W, 3) array or indexable frame sequence.
+    compute_dtype="bfloat16" runs the backbone/RoI pass at half the
+    activation bandwidth (box decode/NMS and outputs stay fp32)."""
+    from .detector import _cast_f32_leaves
     t_total = len(images)
     hw = jnp.asarray(image_hw)
+    dt = jnp.dtype(compute_dtype)
+    cparams = _cast_f32_leaves(params, dt)
 
     @jax.jit
-    def step(img):
-        return det.apply(params, img, hw,
+    def step(cparams, img):
+        return det.apply(cparams, img, hw,
                          method=lambda m, i, h: m.detect_frame(
-                             i, h, post_nms_top_n=post_nms_top_n))
+                             i, h, post_nms_top_n=post_nms_top_n,
+                             compute_dtype=dt))
 
-    outs = [step(jnp.asarray(np.ascontiguousarray(images[t])))
+    outs = [step(cparams, jnp.asarray(np.ascontiguousarray(images[t])))
             for t in range(t_total)]
     return {k: np.stack([np.asarray(o[k]) for o in outs])
             for k in outs[0]}

@@ -166,12 +166,19 @@ def cosine_weights(embed_refs: Array, embed_cur: Array) -> Array:
     (reference compute_weight + softmax, fgfa.py:64-75, 128-129).
     embed_refs: (R, H, W, C); embed_cur: (1, H, W, C). Returns
     (R, H, W, 1)."""
+    dt = embed_refs.dtype
+    embed_refs = embed_refs.astype(jnp.float32)
+    embed_cur = embed_cur.astype(jnp.float32)
+
     def norm(e):
         return jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-10
 
+    # cosine + softmax run fp32 (norms of 2048-d bf16 vectors drift);
+    # the weights come back in the embedding dtype so a bf16 weighted
+    # sum stays bf16
     w = jnp.sum((embed_refs / norm(embed_refs))
                 * (embed_cur / norm(embed_cur)), axis=-1, keepdims=True)
-    return jax.nn.softmax(w, axis=0)
+    return jax.nn.softmax(w, axis=0).astype(dt)
 
 
 class FGFA(nn.Module):
@@ -195,7 +202,7 @@ class FGFA(nn.Module):
         r = imgs_ref.shape[0]
         pair = jnp.concatenate([jnp.repeat(img_cur, r, axis=0) / 255.0,
                                 imgs_ref / 255.0], axis=-1)
-        flow = self.flownet(pair)
+        flow = self.flownet(pair.astype(feats_cur.dtype))
         warped = warp_features(feats_refs, flow)
 
         embeds = self.embednet(jnp.concatenate([feats_cur, warped],
@@ -217,7 +224,7 @@ class FGFA(nn.Module):
         r = imgs_win.shape[0]
         pair = jnp.concatenate([jnp.repeat(img_cur, r, axis=0) / 255.0,
                                 imgs_win / 255.0], axis=-1)
-        flow = self.flownet(pair)
+        flow = self.flownet(pair.astype(featembeds_win.dtype))
         warped = warp_features(featembeds_win, flow)
         feats, embeds = warped[..., :1024], warped[..., 1024:]
         embed_cur = jax.lax.dynamic_slice_in_dim(embeds, key_loc, 1, 0)
@@ -242,8 +249,9 @@ class DFF(nn.Module):
         """feats(cur) = scale * warp(feats(key), flow(cur -> key))."""
         pair = jnp.concatenate([img_cur / 255.0, img_key / 255.0],
                                axis=-1)
-        flow, scale = self.flownet(pair)
-        return warp_features(feats_key, flow) * scale
+        flow, scale = self.flownet(pair.astype(feats_key.dtype))
+        return warp_features(feats_key, flow) * scale.astype(
+            feats_key.dtype)
 
     def __call__(self, img_cur, img_key, feats_key):
         return self.propagate(img_cur, img_key, feats_key)
@@ -297,12 +305,19 @@ class FGFADetector(nn.Module):
         self.c5 = ResNetC5Head(3, name="c5")
         self.head = TwoFCHead(self.num_classes, name="head")
 
-    def features(self, images: Array) -> Array:
-        return self.backbone(images - self._pixel_mean)
+    def features(self, images: Array,
+                 compute_dtype=jnp.float32) -> Array:
+        """compute_dtype=bfloat16 runs the backbone at half the
+        activation bandwidth (pass bf16-cast params alongside)."""
+        x = (images.astype(jnp.float32)
+             - self._pixel_mean).astype(compute_dtype)
+        return self.backbone(x)
 
     def detect_on(self, agg_feat: Array, image_hw, *,
                   post_nms_top_n: int = 300):
-        """RPN + head on an aggregated (1, h, w, 1024) feature map."""
+        """RPN + head on an aggregated (1, h, w, 1024) feature map.
+        Box decode + NMS always run fp32 (bf16 coords quantize to ~4px);
+        returned logits/deltas are fp32 regardless of compute dtype."""
         from . import rpn as rpn_lib
         from ..ops import boxes as box_ops
 
@@ -310,7 +325,8 @@ class FGFADetector(nn.Module):
         hp, wp, a = logits.shape[1], logits.shape[2], logits.shape[3]
         anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
         boxes, scores, valid = rpn_lib.select_proposals(
-            anchors, logits[0].reshape(-1), deltas[0].reshape(-1, 4),
+            anchors, logits[0].reshape(-1).astype(jnp.float32),
+            deltas[0].reshape(-1, 4).astype(jnp.float32),
             image_hw, pre_nms_top_n=6000, post_nms_top_n=post_nms_top_n)
         chw = agg_feat[0].transpose(2, 0, 1)
         crops = box_ops.roi_align(chw, boxes, spatial_scale=1.0 / 16,
@@ -318,8 +334,9 @@ class FGFADetector(nn.Module):
         pooled = self.c5(crops.transpose(0, 2, 3, 1))
         cls_logits, bbox_deltas = self.head(pooled)
         return {"proposals": boxes, "proposal_scores": scores,
-                "valid": valid, "cls_logits": cls_logits,
-                "bbox_deltas": bbox_deltas}
+                "valid": valid,
+                "cls_logits": cls_logits.astype(jnp.float32),
+                "bbox_deltas": bbox_deltas.astype(jnp.float32)}
 
     def detect_frame(self, img_cur: Array, imgs_ref: Array, image_hw, *,
                      post_nms_top_n: int = 300):
@@ -334,30 +351,37 @@ class FGFADetector(nn.Module):
 
 
 def fgfa_detect_video(det: "FGFADetector", params, images, image_hw, *,
-                      post_nms_top_n: int = 300):
+                      post_nms_top_n: int = 300,
+                      compute_dtype: str = "float32"):
     """Whole-video FGFA detection (reference fgfa.py:_forward_test,
     :144-216): per-frame C4 features + embeddings are precomputed in one
     batched pass; each key frame then warps its 19-frame window's
     feats+embeds along FlowNetS flow and detects on the cosine-weighted
     aggregate. images: (T, H, W, 3) array or indexable frame sequence.
+    compute_dtype="bfloat16" runs backbone/embed/flow/aggregation at
+    half the activation bandwidth — including the (T, h, w, 3072)
+    feat+embed buffer — with box decode/NMS and cosine softmax fp32.
     """
+    from .detector import _cast_f32_leaves
     t_total = len(images)
     hw = jnp.asarray(image_hw)
+    dt = jnp.dtype(compute_dtype)
+    cparams = _cast_f32_leaves(params, dt)
 
     @jax.jit
-    def precompute(img):
+    def precompute(cparams, img):
         def fwd(m):
-            feats = m.features(img[None])
+            feats = m.features(img[None], compute_dtype=dt)
             return m.fgfa.precompute_frame(feats)
-        return det.apply(params, method=fwd)
+        return det.apply(cparams, method=fwd)
 
     imgs_host = [np.asarray(images[t]) for t in range(t_total)]
-    fe = jnp.concatenate([precompute(jnp.asarray(im))
+    fe = jnp.concatenate([precompute(cparams, jnp.asarray(im))
                           for im in imgs_host], axis=0)   # (T, h, w, 3072)
     imgs = jnp.asarray(np.stack(imgs_host))
 
     @jax.jit
-    def step(t):
+    def step(cparams, t):
         widx = fgfa_stream_indices(t, jnp.int32(t_total),
                                    window=det.window, key_loc=det.key_loc)
         in_win = jnp.argmax((widx == t).astype(jnp.int32))
@@ -365,33 +389,39 @@ def fgfa_detect_video(det: "FGFADetector", params, images, image_hw, *,
             agg = m.fgfa.aggregate_test(imgs[t][None], imgs[widx],
                                         fe[widx], in_win)
             return m.detect_on(agg, hw, post_nms_top_n=post_nms_top_n)
-        return det.apply(params, method=fwd)
+        return det.apply(cparams, method=fwd)
 
-    outs = [step(jnp.int32(t)) for t in range(t_total)]
+    outs = [step(cparams, jnp.int32(t)) for t in range(t_total)]
     return {k: np.stack([np.asarray(o[k]) for o in outs])
             for k in outs[0]}
 
 
 def dff_detect_video(det: "DFFDetector", params, images, image_hw, *,
-                     key_interval: int = 10, post_nms_top_n: int = 300):
+                     key_interval: int = 10, post_nms_top_n: int = 300,
+                     compute_dtype: str = "float32"):
     """Whole-video DFF detection (reference dff.py:_forward_test,
     :123-138 + vid_dff key-frame schedule): frames at multiples of
     key_interval run the backbone; the rest warp the latest key frame's
-    features by flow * scale."""
+    features by flow * scale. compute_dtype="bfloat16" runs the
+    backbone/flow/RoI pass in bf16 (box decode/NMS stay fp32)."""
+    from .detector import _cast_f32_leaves
     t_total = len(images)
     hw = jnp.asarray(image_hw)
+    dt = jnp.dtype(compute_dtype)
+    cparams = _cast_f32_leaves(params, dt)
 
     @jax.jit
-    def key_feats_of(img):
-        return det.apply(params, img[None],
-                         method=lambda m, im: m.features(im))
+    def key_feats_of(cparams, img):
+        return det.apply(cparams, img[None],
+                         method=lambda m, im: m.features(
+                             im, compute_dtype=dt))
 
     @jax.jit
-    def detect(img_cur, img_key, feats_key):
+    def detect(cparams, img_cur, img_key, feats_key):
         def fwd(m):
             return m.detect_frame(img_cur[None], img_key[None], feats_key,
                                   hw, post_nms_top_n=post_nms_top_n)
-        return det.apply(params, method=fwd)
+        return det.apply(cparams, method=fwd)
 
     outs = []
     img_key = feats_key = None
@@ -399,8 +429,8 @@ def dff_detect_video(det: "DFFDetector", params, images, image_hw, *,
         img = jnp.asarray(np.asarray(images[t]))
         if t % key_interval == 0:
             img_key = img
-            feats_key = key_feats_of(img)
-        outs.append(detect(img, img_key, feats_key))
+            feats_key = key_feats_of(cparams, img)
+        outs.append(detect(cparams, img, img_key, feats_key))
     return {k: np.stack([np.asarray(o[k]) for o in outs])
             for k in outs[0]}
 
@@ -422,8 +452,11 @@ class DFFDetector(nn.Module):
         self.c5 = ResNetC5Head(3, name="c5")
         self.head = TwoFCHead(self.num_classes, name="head")
 
-    def features(self, images: Array) -> Array:
-        return self.backbone(images - self._pixel_mean)
+    def features(self, images: Array,
+                 compute_dtype=jnp.float32) -> Array:
+        x = (images.astype(jnp.float32)
+             - self._pixel_mean).astype(compute_dtype)
+        return self.backbone(x)
 
     def detect_frame(self, img_cur: Array, img_key: Array,
                      feats_key: Array, image_hw, *,

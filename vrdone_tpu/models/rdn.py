@@ -168,8 +168,13 @@ class RDNDetector(nn.Module):
                            advanced_num=self.advanced_num,
                            name="rdn")
 
-    def features(self, images: Array) -> Array:
-        return self.backbone(images - self._pixel_mean)
+    def features(self, images: Array,
+                 compute_dtype=jnp.float32) -> Array:
+        """compute_dtype=bfloat16 runs the backbone at half the
+        activation bandwidth (pass bf16-cast params alongside)."""
+        x = (images.astype(jnp.float32)
+             - self._pixel_mean).astype(compute_dtype)
+        return self.backbone(x)
 
     def propose(self, c4_feat: Array, image_hw: Array, *,
                 pre_nms_top_n: int = 6000, post_nms_top_n: int = 300):
@@ -177,8 +182,10 @@ class RDNDetector(nn.Module):
         logits, deltas = self.rpn_head(c4_feat[None])
         hp, wp = logits.shape[1], logits.shape[2]
         anchors = jnp.asarray(rpn_lib.make_anchors(hp, wp))
+        # box decode + NMS always run fp32 (bf16 coords quantize to ~4px)
         return rpn_lib.select_proposals(
-            anchors, logits[0].reshape(-1), deltas[0].reshape(-1, 4),
+            anchors, logits[0].reshape(-1).astype(jnp.float32),
+            deltas[0].reshape(-1, 4).astype(jnp.float32),
             image_hw, pre_nms_top_n=pre_nms_top_n,
             post_nms_top_n=post_nms_top_n)
 
@@ -198,21 +205,29 @@ class RDNDetector(nn.Module):
 
 
 def rdn_detect_video(det: RDNDetector, params, images, image_hw, *,
-                     key_post_nms: int = 300):
+                     key_post_nms: int = 300,
+                     compute_dtype: str = "float32"):
     """Whole-video RDN detection (reference generalized_rcnn_rdn.py
     _forward_test): batched per-frame precompute (proposals + fc0
     features), then one lax.scan over the deque-equivalent sliding
-    window. images: (T, H, W, 3) array or indexable frame sequence."""
+    window. images: (T, H, W, 3) array or indexable frame sequence.
+    compute_dtype="bfloat16" runs the backbone/RoI precompute in bf16
+    (box decode/NMS stay fp32; pooled/fc0 features return fp32, so the
+    streaming enhancement and predictions are unchanged)."""
+    from .detector import _cast_f32_leaves
     t_total = len(images)
     hw = jnp.asarray(image_hw)
+    dt = jnp.dtype(compute_dtype)
+    cparams = _cast_f32_leaves(params, dt)
 
     @jax.jit
-    def precompute(params, image):
+    def precompute(cparams, image):
         def fwd(m):
-            c4 = m.features(image[None])[0]
+            c4 = m.features(image[None], compute_dtype=dt)[0]
             kb, ks, kv = m.propose(c4, hw, post_nms_top_n=key_post_nms)
             key_pooled = m.box_head.pooled_features(c4, kb)
             key_pooled = key_pooled * kv[:, None].astype(key_pooled.dtype)
+            key_pooled = key_pooled.astype(jnp.float32)
             if key_post_nms >= det.base_num:
                 rb, rv = kb[:det.base_num], kv[:det.base_num]
                 ref_fc0 = m.rdn.pre_calculate(key_pooled[:det.base_num])
@@ -221,10 +236,12 @@ def rdn_detect_video(det: RDNDetector, params, images, image_hw, *,
                 rb, _, rv = m.propose(c4, hw,
                                       post_nms_top_n=det.base_num)
                 ref_fc0 = m.frame_fc0(c4, rb, rv)
-            return kb, ks, kv, key_pooled, rb, rv, ref_fc0
-        return det.apply(params, method=fwd)
+            return kb, ks, kv, key_pooled, rb, rv, ref_fc0.astype(
+                jnp.float32)
+        return det.apply(cparams, method=fwd)
 
-    outs = [precompute(params, jnp.asarray(np.ascontiguousarray(images[t])))
+    outs = [precompute(cparams,
+                       jnp.asarray(np.ascontiguousarray(images[t])))
             for t in range(t_total)]
     kb, ks, kv, kp, rb, rv, rf = (jnp.stack([o[i] for o in outs])
                                   for i in range(7))

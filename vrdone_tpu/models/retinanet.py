@@ -200,10 +200,14 @@ class RetinaNet(nn.Module):
         self.fpn = FPNP3P7(self.out_channels, name="fpn")
         self.head = RetinaNetHead(self.num_classes, name="head")
 
-    def __call__(self, images: Array):
-        """images (N, H, W, 3) BGR 0-255. Returns per-level (logits,
-        bbox_deltas) lists, NHWC."""
-        feats = self.fpn(*self.body(images - self._pixel_mean))
+    def __call__(self, images: Array, compute_dtype=jnp.float32):
+        """images (N, H, W, 3) BGR 0-255 (uint8 fine; cast on device).
+        compute_dtype=bfloat16 runs body/FPN/head at half the activation
+        bandwidth (pass bf16-cast params alongside). Returns per-level
+        (logits, bbox_deltas) lists, NHWC."""
+        x = (images.astype(jnp.float32)
+             - self._pixel_mean).astype(compute_dtype)
+        feats = self.fpn(*self.body(x))
         return self.head(feats)
 
 
@@ -289,11 +293,17 @@ def retinanet_losses(anchors: Array, cls_logits: Array, bbox_deltas: Array,
 
 def detect_image(model: RetinaNet, params, image: Array, image_hw,
                  *, pre_nms_top_n: int = 1000, score_thresh: float = 0.05,
-                 nms_thresh: float = 0.4, dets_per_img: int = 100) -> dict:
+                 nms_thresh: float = 0.4, dets_per_img: int = 100,
+                 compute_dtype: str = "float32") -> dict:
     """Single-image inference (reference retinanet/inference.py): per-level
     thresholded top-k candidates, decode, clip, class-wise NMS, global
-    top dets_per_img."""
-    logits_l, bbox_l = model.apply(params, image[None])
+    top dets_per_img. compute_dtype="bfloat16" runs the network in bf16
+    (callers pass bf16-cast params for the full win); decode/NMS below
+    always run fp32 on the flattened fp32-cast logits/deltas."""
+    dt = jnp.dtype(compute_dtype)
+    logits_l, bbox_l = model.apply(params, image[None], dt)
+    logits_l = [x.astype(jnp.float32) for x in logits_l]
+    bbox_l = [x.astype(jnp.float32) for x in bbox_l]
     k = model.num_classes
     anchors = jnp.asarray(all_anchors(
         (int(image.shape[0]), int(image.shape[1]))))

@@ -18,14 +18,18 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_dp: int | None = None, n_tp: int = 1,
+def make_mesh(n_dp: int | None = None, n_tp: int = 1, n_sp: int = 1,
               devices=None) -> Mesh:
+    """("dp", "tp", "sp") mesh. dp shards the batch, tp shards large
+    kernels' output features (tp_shardings), sp shards the sequence
+    (time) axis of long-video batches (sp_batch_shardings)."""
     devices = devices if devices is not None else jax.devices()
     if n_dp is None:
-        n_dp = len(devices) // n_tp
-    assert n_dp * n_tp <= len(devices), (n_dp, n_tp, len(devices))
-    arr = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        n_dp = len(devices) // (n_tp * n_sp)
+    total = n_dp * n_tp * n_sp
+    assert total <= len(devices), (n_dp, n_tp, n_sp, len(devices))
+    arr = np.asarray(devices[:total]).reshape(n_dp, n_tp, n_sp)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -48,12 +52,14 @@ def shard_batch(mesh: Mesh, batch):
     and the global array is assembled without any host ever materialising
     the full batch (the reference equivalent is per-rank
     DistributedSampler subsets, reference train.py:77-83)."""
-    sh = batch_sharding(mesh)
+    if "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+        sh = sp_batch_shardings(mesh, batch)
+    else:
+        sh = {k: batch_sharding(mesh) for k in batch}
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)), batch)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        return {k: jax.make_array_from_process_local_data(
+            sh[k], np.asarray(v)) for k, v in batch.items()}
+    return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
 
 
 def local_batch_slice(global_batch_size: int) -> slice:
@@ -65,6 +71,31 @@ def local_batch_slice(global_batch_size: int) -> slice:
     local = global_batch_size // n
     r = jax.process_index()
     return slice(r * local, (r + 1) * local)
+
+
+def sp_batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """Sequence-parallel placement for a train batch dict: the time axis
+    of the temporal tensors is sharded over "sp" on top of the "dp" batch
+    sharding. GSPMD then partitions the whole forward/backward along T —
+    convolution halos, attention K/V gathers, and the psum of the
+    time-reduced losses are inserted by the compiler (the scaling-book
+    recipe: annotate shardings, let XLA place collectives). This is a
+    beyond-reference capability (the reference is DDP-only;
+    SURVEY.md §2.5 lists SP as "optional extension"): it scales VidOR-
+    length (T=512+) sequences past one chip's HBM without streaming.
+
+    Time-carrying keys (see models/maskvrd.py batch contract):
+      feats (B, T, C), seq_mask (B, T) -> P(dp, sp)
+      gt_masks (B, G, T)               -> P(dp, None, sp)
+    everything else is dp-sharded on its leading batch dim only.
+    """
+    specs = {
+        "feats": P("dp", "sp"),
+        "seq_mask": P("dp", "sp"),
+        "gt_masks": P("dp", None, "sp"),
+    }
+    return {k: NamedSharding(mesh, specs.get(k, P("dp")))
+            for k in batch}
 
 
 def tp_shardings(mesh: Mesh, params, min_size: int = 1 << 16):

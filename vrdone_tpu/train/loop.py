@@ -103,8 +103,14 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
         return preds
 
     if cfg.remat:
-        # trade FLOPs for HBM: recompute the forward during the backward
-        forward = jax.checkpoint(forward)
+        # trade FLOPs for HBM: recompute the forward during the backward.
+        # policy "dots" keeps matmul outputs resident and recomputes only
+        # the elementwise chains between them — fewer HBM round-trips for
+        # a bandwidth-bound step at a small FLOP surcharge
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if getattr(cfg, "remat_policy", "full") == "dots"
+                  else None)
+        forward = jax.checkpoint(forward, policy=policy)
 
     def loss_fn(params):
         preds = forward(params, batch["feats"], batch["seq_mask"])
@@ -133,7 +139,10 @@ def commit_state(state: TrainState, mesh: Mesh) -> TrainState:
 def make_jitted_train_step(cfg: ModelConfig, mesh: Optional[Mesh] = None,
                            infer_shardings: bool = False):
     """jit train_step; with a mesh, shard the batch over "dp" and replicate
-    state (grad all-reduce is inserted by XLA).
+    state (grad all-reduce is inserted by XLA). A mesh with an "sp" axis
+    of size > 1 additionally shards the time dimension of the temporal
+    batch tensors (sequence parallelism — parallel/mesh.py::
+    sp_batch_shardings); GSPMD places the conv halos / attention gathers.
 
     infer_shardings=True drops the explicit replication constraints and
     lets GSPMD propagate from the committed inputs — required when the
@@ -145,7 +154,15 @@ def make_jitted_train_step(cfg: ModelConfig, mesh: Optional[Mesh] = None,
     if infer_shardings:
         return jax.jit(step_fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("dp"))
+    if "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+        # per-key specs (the time axis sits at a different rank per key)
+        from ..parallel.mesh import sp_batch_shardings
+        data = sp_batch_shardings(mesh, {
+            "feats": None, "seq_mask": None, "item_valid": None,
+            "gt_labels": None, "gt_masks": None, "gt_segs": None,
+            "gt_valid": None})
+    else:
+        data = NamedSharding(mesh, P("dp"))
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),
