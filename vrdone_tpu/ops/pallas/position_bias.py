@@ -13,10 +13,24 @@ Why a kernel: the dense form materialises the (N, M, 64) embedding and
 the (N, M, g) gate in HBM. At the serving stage-0 shape (N=675 queries,
 M=3750 window+memory refs) that is ~650 MB + ~160 MB of intermediate
 traffic per attention call — the measured bandwidth bottleneck of
-streaming video detection (DEVNOTES serving analysis). Here the
-embedding tile lives only in VMEM, laid out transposed (64, bn, bm) so
-the 64->g contraction runs as one MXU dot per tile with no transposes,
-and only the (g, N, M) bias ever touches HBM.
+streaming video detection (DEVNOTES serving analysis).
+
+Structure exploited (v2): of the four geometry features, dw=log(qw/kw)
+and dh=log(qh/kh) are exactly *separable* (a q-roi term minus a k-roi
+term, no epsilon inside), so their 32 sinusoid features factor through
+the angle-addition identities
+
+    sin(c(a-b)) = sin(ca)cos(cb) - cos(ca)sin(cb)
+    cos(c(a-b)) = cos(ca)cos(cb) + sin(ca)sin(cb)
+
+into per-roi transcendentals (O(N+M) instead of O(N*M)) plus one MXU
+matmul: folding the Wg columns into the q-side factors gives
+Wg_dwdh . pe_dwdh == A @ B^T with A:(g, N, 32), B:(M, 32). Only dx/dy
+(non-separable: |qc-kc|/qw with a +1e-3 inside the log) keep per-pair
+transcendentals in-kernel — half the transcendental work and half the
+VMEM stack of v1. Inside the kernel the embedding tile lives only in
+VMEM, feature-major (32, bn*bm), so the 32->g contraction is one MXU
+dot per tile; only the (g, N, M) bias ever touches HBM.
 
 Kernel-only forward (no custom VJP): serving/eval path. The training
 path keeps the dense composition, whose autodiff handles the Wg grads.
@@ -32,7 +46,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
-def _bias_kernel(q_ref, kt_ref, wt_ref, b_ref, o_ref, *, freqs, groups):
+def _bias_kernel(q_ref, kt_ref, a_ref, bt_ref, wt_ref, b_ref, o_ref, *,
+                 freqs, groups):
     q = q_ref[...]                                   # (bn, 4)
     qx1, qy1, qx2, qy2 = (q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4])
     kx1, ky1, kx2, ky2 = (kt_ref[0:1, :], kt_ref[1:2, :],
@@ -41,16 +56,13 @@ def _bias_kernel(q_ref, kt_ref, wt_ref, b_ref, o_ref, *, freqs, groups):
     qh = qy2 - qy1 + 1.0
     qcx = 0.5 * (qx1 + qx2)
     qcy = 0.5 * (qy1 + qy2)
-    kw = kx2 - kx1 + 1.0
-    kh = ky2 - ky1 + 1.0
     kcx = 0.5 * (kx1 + kx2)
     kcy = 0.5 * (ky1 + ky2)
 
-    # (bn, 1) x (1, bm) -> (bn, bm) log-space geometry (position_matrix)
+    # (bn, 1) x (1, bm) -> (bn, bm) log-space geometry (position_matrix),
+    # pairwise features only — dw/dh arrive pre-factored via a_ref/bt_ref.
     dx = jnp.log(jnp.abs((qcx - kcx) / qw) + 1e-3)
     dy = jnp.log(jnp.abs((qcy - kcy) / qh) + 1e-3)
-    dw = jnp.log(qw / kw)
-    dh = jnp.log(qh / kh)
 
     bn, bm = dx.shape
     # transposed embedding tile, feature-major: rows j*16+k are
@@ -58,7 +70,7 @@ def _bias_kernel(q_ref, kt_ref, wt_ref, b_ref, o_ref, *, freqs, groups):
     # position_embedding concat([sin, cos], -1).reshape layout.
     # freqs are python floats (baked into the program, not operands).
     parts = []
-    for pos in (dx, dy, dw, dh):
+    for pos in (dx, dy):
         angs = [pos * c for c in freqs]
         parts.extend(jnp.sin(a) for a in angs)
         parts.extend(jnp.cos(a) for a in angs)
@@ -66,9 +78,19 @@ def _bias_kernel(q_ref, kt_ref, wt_ref, b_ref, o_ref, *, freqs, groups):
 
     wg = jnp.dot(wt_ref[...], pe_t,
                  preferred_element_type=jnp.float32)        # (g, bn*bm)
-    wg = wg + b_ref[...].reshape(groups, 1)
-    o_ref[...] = jnp.log(jnp.maximum(wg, 0.0) + 1e-6).reshape(
-        groups, bn, bm)
+    wg = wg + b_ref[...].reshape(groups, 1)                 # bias in 2-D
+    # separable dw/dh half: (g*bn, 32) @ (32, bm) on the MXU
+    a = a_ref[...].reshape(groups * bn, -1)
+    sep = jnp.dot(a, bt_ref[...],
+                  preferred_element_type=jnp.float32)       # (g*bn, bm)
+    wg = wg.reshape(groups, bn, bm) + sep.reshape(groups, bn, bm)
+    o_ref[...] = jnp.log(jnp.maximum(wg, 0.0) + 1e-6)
+
+
+def _log_wh(rois):
+    w = rois[:, 2] - rois[:, 0] + 1.0
+    h = rois[:, 3] - rois[:, 1] + 1.0
+    return jnp.log(w), jnp.log(h)
 
 
 @functools.partial(jax.jit, static_argnames=("embed_dim", "block_n",
@@ -87,12 +109,47 @@ def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
     n_pad = -n % block_n
     m_pad = -m % block_m
     q = jnp.pad(q_rois.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    k_t = jnp.pad(k_rois.astype(jnp.float32), ((0, m_pad), (0, 0))).T
+    k = jnp.pad(k_rois.astype(jnp.float32), ((0, m_pad), (0, 0)))
+    k_t = k.T
     npad, mpad = n + n_pad, m + m_pad
 
     n_freq = embed_dim // 8
     dim_mat = wave_length ** (8.0 / embed_dim * np.arange(n_freq))
-    freqs = tuple((100.0 / dim_mat).tolist())
+    freqs_np = (100.0 / dim_mat).astype(np.float32)
+    freqs = tuple(freqs_np.tolist())
+
+    # ---- separable dw/dh factors (per-roi transcendentals, O(N+M)) ----
+    # pe feature layout: [dx 0:16 | dy 16:32 | dw 32:48 | dh 48:64] with
+    # sin first then cos inside each 16. For frequency j:
+    #   pe[32+j] = sin(c_j dw), pe[40+j] = cos(c_j dw)   (dw = lqw - lkw)
+    # Wg-fold through the angle-addition identities:
+    #   sum_j ws_j sin(c_j dw) + wc_j cos(c_j dw)
+    #     = sum_j [ws_j sq_j + wc_j cq_j] ck_j + [wc_j sq_j - ws_j cq_j] sk_j
+    W = wg_kernel.astype(jnp.float32)                        # (64, g)
+    lqw, lqh = _log_wh(q)                                    # (Np,)
+    lkw, lkh = _log_wh(k)                                    # (Mp,)
+    fr = jnp.asarray(freqs_np)
+
+    def tables(lv):
+        ang = lv[:, None] * fr[None, :]                      # (P, 8)
+        return jnp.sin(ang), jnp.cos(ang)
+
+    sqw, cqw = tables(lqw)
+    sqh, cqh = tables(lqh)
+    skw, ckw = tables(lkw)
+    skh, ckh = tables(lkh)
+
+    def fold(ws, wc, s, c):
+        # ws, wc: (8, g); s, c: (P, 8) -> two (g, P, 8) factor blocks
+        a1 = s[None] * ws.T[:, None, :] + c[None] * wc.T[:, None, :]
+        a2 = s[None] * wc.T[:, None, :] - c[None] * ws.T[:, None, :]
+        return a1, a2
+
+    a1w, a2w = fold(W[32:40], W[40:48], sqw, cqw)
+    a1h, a2h = fold(W[48:56], W[56:64], sqh, cqh)
+    A = jnp.concatenate([a1w, a2w, a1h, a2h], axis=-1)       # (g, Np, 32)
+    B_t = jnp.concatenate([ckw, skw, ckh, skh], axis=-1).T   # (32, Mp)
+    sep_dim = A.shape[-1]
 
     out = pl.pallas_call(
         functools.partial(_bias_kernel, freqs=freqs, groups=groups),
@@ -100,13 +157,14 @@ def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
         in_specs=[
             pl.BlockSpec((block_n, 4), lambda i, j: (i, 0)),
             pl.BlockSpec((4, block_m), lambda i, j: (0, j)),
-            pl.BlockSpec((groups, embed_dim), lambda i, j: (0, 0)),
+            pl.BlockSpec((groups, block_n, sep_dim), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((sep_dim, block_m), lambda i, j: (0, j)),
+            pl.BlockSpec((groups, embed_dim // 2), lambda i, j: (0, 0)),
             pl.BlockSpec((1, groups), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((groups, block_n, block_m),
                                lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((groups, npad, mpad), jnp.float32),
         interpret=interpret,
-    )(q, k_t, wg_kernel.astype(jnp.float32).T,
-      wg_bias.astype(jnp.float32).reshape(1, groups))
+    )(q, k_t, A, B_t, W[:32].T, wg_bias.astype(jnp.float32).reshape(1, groups))
     return out[:, :n, :m]
