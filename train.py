@@ -194,7 +194,7 @@ def main():
 
     path = os.path.join(args.exp_dir, "model_last.ckpt")
     ckpt.save_checkpoint(path, state, epoch=training_epoch - 1,
-                         batch_size=batch_size)
+                         batch_size=batch_size, block=True)
     logger.info(f"Checkpoint is saved: {path}")
     logger.info("Training Over...")
 

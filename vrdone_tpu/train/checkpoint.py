@@ -16,7 +16,32 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: str, state, *, epoch: int, batch_size: int):
+# Singleton async checkpointer for training saves. orbax's
+# StandardCheckpointer is an AsyncCheckpointer: .save() performs a
+# blocking device->host snapshot of the arrays, then serializes and
+# commits the atomic directory in a background thread — the train loop
+# keeps stepping while the previous epoch's checkpoint is still being
+# written. At most one save is in flight (we wait before enqueuing the
+# next); call wait_for_saves() before process exit or before reading a
+# checkpoint back.
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _ckptr() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_saves():
+    """Block until every async checkpoint save has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(path: str, state, *, epoch: int, batch_size: int,
+                    block: bool = False):
     path = os.path.abspath(path)
     payload = {
         "params": state.params,
@@ -26,9 +51,11 @@ def save_checkpoint(path: str, state, *, epoch: int, batch_size: int):
         "meta": {"crt_epoch": np.asarray(epoch + 1),
                  "batch_size": np.asarray(batch_size)},
     }
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _ckptr()
+    ckptr.wait_until_finished()  # at most one outstanding save
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
 
 
 def restore_checkpoint(path: str, state) -> tuple[Any, int, int]:
