@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--t", type=int, default=512)
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--valid_frac", type=float, default=0.75)
+    ap.add_argument("--tune", action="store_true",
+                    help="sweep flash BlockSizes (bf16, f+b) instead of the "
+                         "dense-vs-default comparison")
     args = ap.parse_args()
 
     b, h, t, d = args.batch, args.heads, args.t, args.d
@@ -68,20 +71,86 @@ def main():
     def dense(q, k, v):
         return mops.full_attention(q, k, v, mask, n_head=h)
 
-    def flash(q, k, v):
-        qh = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-        seg = mask.astype(jnp.int32)
-        out = fa.flash_attention(
-            qh, kh, vh, segment_ids=fa.SegmentIds(seg, seg),
-            sm_scale=1.0 / np.sqrt(d))
-        return out.transpose(0, 2, 1, 3).reshape(b, t, c)
+    def make_flash(block_sizes=None):
+        def flash(q, k, v):
+            qh = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+            seg = mask.astype(jnp.int32)
+            out = fa.flash_attention(
+                qh, kh, vh, segment_ids=fa.SegmentIds(seg, seg),
+                sm_scale=1.0 / np.sqrt(d), block_sizes=block_sizes)
+            return out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        return flash
+
+    flash = make_flash()
 
     def loss_of(f):
         def g(q, k, v):
             return jnp.sum(f(q, k, v) ** 2)
         return g
+
+    if args.tune:
+        # the default (all-128, block_b=1) grid runs 4 MFLOP tiles — sweep
+        # fatter blocks. bf16 only (the production train dtype).
+        qd, kd, vd = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        base = dict(block_q=128, block_k_major=128, block_k=128, block_b=1,
+                    block_q_major_dkv=128, block_k_major_dkv=128,
+                    block_k_dkv=128, block_q_dkv=128,
+                    block_k_major_dq=128, block_k_dq=128, block_q_dq=128)
+        tmax = t
+
+        def mk(**over):
+            cfg = dict(base)
+            cfg.update(over)
+            return cfg
+
+        candidates = {
+            "default": base,
+            "q512": mk(block_q=tmax, block_q_major_dkv=tmax,
+                       block_q_dkv=tmax, block_q_dq=tmax),
+            "k512": mk(block_k_major=tmax, block_k=tmax,
+                       block_k_major_dkv=tmax, block_k_dkv=tmax,
+                       block_k_major_dq=tmax, block_k_dq=tmax),
+            "qk512": mk(block_q=tmax, block_q_major_dkv=tmax,
+                        block_q_dkv=tmax, block_q_dq=tmax,
+                        block_k_major=tmax, block_k=tmax,
+                        block_k_major_dkv=tmax, block_k_dkv=tmax,
+                        block_k_major_dq=tmax, block_k_dq=tmax),
+            "qk256": mk(block_q=256, block_q_major_dkv=256,
+                        block_q_dkv=256, block_q_dq=256,
+                        block_k_major=256, block_k=256,
+                        block_k_major_dkv=256, block_k_dkv=256,
+                        block_k_major_dq=256, block_k_dq=256),
+            "qk512_b2": mk(block_b=2, block_q=tmax, block_q_major_dkv=tmax,
+                           block_q_dkv=tmax, block_q_dq=tmax,
+                           block_k_major=tmax, block_k=tmax,
+                           block_k_major_dkv=tmax, block_k_dkv=tmax,
+                           block_k_major_dq=tmax, block_k_dq=tmax),
+            "qk512_b4": mk(block_b=4, block_q=tmax, block_q_major_dkv=tmax,
+                           block_q_dkv=tmax, block_q_dq=tmax,
+                           block_k_major=tmax, block_k=tmax,
+                           block_k_major_dkv=tmax, block_k_dkv=tmax,
+                           block_k_major_dq=tmax, block_k_dq=tmax),
+        }
+        dj = jax.jit(dense)
+        dg = jax.jit(jax.grad(loss_of(dense), argnums=(0, 1, 2)))
+        t_d, t_dg = time_fn(dj, qd, kd, vd), time_fn(dg, qd, kd, vd)
+        print(f"[bf16] dense     fwd {t_d:7.3f} ms  f+b {t_dg:7.3f} ms")
+        for nm, cfg in candidates.items():
+            try:
+                fl = make_flash(fa.BlockSizes(**cfg))
+                fj = jax.jit(fl)
+                fg = jax.jit(jax.grad(loss_of(fl), argnums=(0, 1, 2)))
+                t_f = time_fn(fj, qd, kd, vd)
+                t_fg = time_fn(fg, qd, kd, vd)
+                print(f"[bf16] {nm:9s} fwd {t_f:7.3f} ms ({t_d/t_f:4.2f}x)"
+                      f"  f+b {t_fg:7.3f} ms ({t_dg/t_fg:4.2f}x)",
+                      flush=True)
+            except Exception as e:
+                print(f"[bf16] {nm:9s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+        return
 
     for dtype in (jnp.float32, jnp.bfloat16):
         qd, kd, vd = (x.astype(dtype) for x in (q, k, v))

@@ -221,7 +221,9 @@ class MHA(nn.Module):
             vh = vh * kv_mask[:, None, :, None].astype(vh.dtype)
             out = mops._merge_heads(jnp.einsum("bhqk,bhkd->bhqd", att, vh))
         else:
-            out = mops.full_attention(qp, kp, vp, kv_mask, n_head=self.n_head)
+            out = mops.full_attention_auto(qp, kp, vp, kv_mask,
+                                           n_head=self.n_head,
+                                           allow_flash=deterministic)
 
         out = Dense(self.n_embd, name="proj")(out)
         if self.proj_pdrop > 0.0:
@@ -317,7 +319,9 @@ class ConvMHA(nn.Module):
             vh = vh * km[:, None, :, None].astype(vh.dtype)
             out = mops._merge_heads(jnp.einsum("bhqk,bhkd->bhqd", att, vh))
         else:
-            out = mops.full_attention(qp, kp, vp, km, n_head=self.n_head)
+            out = mops.full_attention_auto(qp, kp, vp, km,
+                                           n_head=self.n_head,
+                                           allow_flash=deterministic)
         out = Dense(self.n_embd, name="proj")(out)
         if self.proj_pdrop > 0.0:
             out = nn.Dropout(self.proj_pdrop)(out, deterministic=deterministic)

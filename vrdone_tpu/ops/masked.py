@@ -158,6 +158,67 @@ def full_attention(q: Array, k: Array, v: Array, kv_mask: Array,
     return _merge_heads(out)
 
 
+# Minimum sequence length at which the tuned flash (streaming-softmax)
+# kernel beats the dense formulation for the FORWARD pass on TPU.
+# Chip-measured at the VidOR stem shape (B=24, H=8, T=512, d=64, bf16):
+# dense fwd 4.09 ms vs flash(block=512) 1.44 ms (2.84x). fwd+bwd is only
+# ~parity (1.02x), so training keeps the dense form; the flash path is
+# engaged for deterministic (eval/serving) forwards only. See DEVNOTES
+# "Flash attention block-size tuning".
+FLASH_FULL_MIN_T = 256
+
+
+def _flash_block(t: int) -> int | None:
+    """Largest legal flash block size dividing t (None: no legal block)."""
+    for b in (512, 256, 128):
+        if t % b == 0:
+            return b
+    return None
+
+
+def _full_attention_flash(q: Array, k: Array, v: Array, kv_mask: Array, *,
+                          n_head: int, bq: int, bk: int) -> Array:
+    """full_attention via the Pallas TPU flash kernel with tuned (fat)
+    block sizes. Valid-query-row outputs match the dense form (invalid
+    keys get zero probability either way); invalid query rows differ but
+    every caller multiplies the output by the query mask afterwards."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    d = c // n_head
+    qh = q.reshape(b, tq, n_head, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, tk, n_head, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, tk, n_head, d).transpose(0, 2, 1, 3)
+    # q rows all "valid" (dense computes every row against the valid keys);
+    # kv segment ids mask the invalid keys out
+    q_seg = jnp.ones((b, tq), jnp.int32)
+    kv_seg = kv_mask.astype(jnp.int32)
+    blocks = fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+    out = fa.flash_attention(
+        qh, kh, vh, segment_ids=fa.SegmentIds(q_seg, kv_seg),
+        sm_scale=1.0 / np.sqrt(d), block_sizes=blocks)
+    return out.transpose(0, 2, 1, 3).reshape(b, tq, c)
+
+
+def full_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
+                        n_head: int, allow_flash: bool = True) -> Array:
+    """full_attention with automatic kernel selection: the tuned flash
+    kernel on TPU for long deterministic forwards, dense otherwise.
+    Callers pass allow_flash=deterministic — the flash fwd+bwd is only
+    parity with dense (DEVNOTES), so gradients ride the dense form."""
+    tq, tk = q.shape[1], k.shape[1]
+    if (allow_flash and tq >= FLASH_FULL_MIN_T and tk >= FLASH_FULL_MIN_T
+            and jax.default_backend() == "tpu"):
+        bq, bk = _flash_block(tq), _flash_block(tk)
+        if bq is not None and bk is not None:
+            return _full_attention_flash(q, k, v, kv_mask, n_head=n_head,
+                                         bq=bq, bk=bk)
+    return full_attention(q, k, v, kv_mask, n_head=n_head)
+
+
 def band_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
                    n_head: int, window_size: int,
                    rel_pe: Array | None = None) -> Array:
