@@ -25,7 +25,12 @@ def test_cpu_identical_to_dense():
     o1 = mops.full_attention(q, k, v, mask, n_head=h)
     o2 = mops.full_attention_auto(q, k, v, mask, n_head=h,
                                   allow_flash=True)
-    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    import jax
+    if jax.default_backend() == "tpu":  # flash engages: parity, not bits
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=0, atol=2e-3)
+    else:
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
 
 def test_flash_block_selection():

@@ -153,50 +153,56 @@ def main():
     eval_start_epoch = tc.get("eval_start_epoch", 3)
 
     total_steps = crt_epoch * steps_per_epoch
-    for epoch in range(crt_epoch, training_epoch):
-        logger.info(f"[Train]: Epoch {epoch:d} started")
-        trackers: dict[str, AverageMeter] = {}
-        epoch_start = time.time()
-        data_t0 = time.time()
-        for step, batch in enumerate(loader.epoch(epoch)):
-            data_time = time.time() - data_t0
-            if args.profile_dir and total_steps == 10:
-                jax.profiler.start_trace(args.profile_dir)
-            batch = shard_batch(mesh, batch)
-            state, losses = step_fn(state, batch, rng)
-            if args.profile_dir and total_steps == 20:
-                jax.block_until_ready(losses)
-                jax.profiler.stop_trace()
-                logger.info(f"Profiler trace written to {args.profile_dir}")
-            if total_steps % log_interval == 0:
-                losses = jax.device_get(losses)
-                for k, v in losses.items():
-                    trackers.setdefault(k, AverageMeter()).update(float(v))
-                lr = float(schedule(total_steps))
-                parts = [f"[Train]: [{epoch:03d}][{step:05d}/"
-                         f"{steps_per_epoch - 1:05d}]",
-                         f"Total loss={trackers['total_loss'].avg:.4f}"]
-                parts += [f"{k}={m.avg:.4f}" for k, m in trackers.items()
-                          if k != "total_loss" and "_" not in k[-2:]]
-                parts.append(f"training lr={lr:.1e}")
-                parts.append(f"data={data_time*1e3:.0f}ms")
-                logger.info("  ".join(parts))
-            total_steps += 1
+    try:
+        for epoch in range(crt_epoch, training_epoch):
+            logger.info(f"[Train]: Epoch {epoch:d} started")
+            trackers: dict[str, AverageMeter] = {}
+            epoch_start = time.time()
             data_t0 = time.time()
-        logger.info(f"Epoch time: {time.time() - epoch_start:.4f}s")
+            for step, batch in enumerate(loader.epoch(epoch)):
+                data_time = time.time() - data_t0
+                if args.profile_dir and total_steps == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                batch = shard_batch(mesh, batch)
+                state, losses = step_fn(state, batch, rng)
+                if args.profile_dir and total_steps == 20:
+                    jax.block_until_ready(losses)
+                    jax.profiler.stop_trace()
+                    logger.info(f"Profiler trace written to {args.profile_dir}")
+                if total_steps % log_interval == 0:
+                    losses = jax.device_get(losses)
+                    for k, v in losses.items():
+                        trackers.setdefault(k, AverageMeter()).update(float(v))
+                    lr = float(schedule(total_steps))
+                    parts = [f"[Train]: [{epoch:03d}][{step:05d}/"
+                             f"{steps_per_epoch - 1:05d}]",
+                             f"Total loss={trackers['total_loss'].avg:.4f}"]
+                    parts += [f"{k}={m.avg:.4f}" for k, m in trackers.items()
+                              if k != "total_loss" and "_" not in k[-2:]]
+                    parts.append(f"training lr={lr:.1e}")
+                    parts.append(f"data={data_time*1e3:.0f}ms")
+                    logger.info("  ".join(parts))
+                total_steps += 1
+                data_t0 = time.time()
+            logger.info(f"Epoch time: {time.time() - epoch_start:.4f}s")
 
-        if (epoch + 1) % save_interval == 0 and (epoch + 1) >= eval_start_epoch:
-            path = os.path.join(
-                args.exp_dir, f"model_epoch_{epoch + 1}_{args.data_name}.ckpt")
-            ckpt.save_checkpoint(path, state, epoch=epoch,
-                                 batch_size=batch_size)
-            logger.info(f"Checkpoint is saved: {path}")
+            if (epoch + 1) % save_interval == 0 and (epoch + 1) >= eval_start_epoch:
+                path = os.path.join(
+                    args.exp_dir, f"model_epoch_{epoch + 1}_{args.data_name}.ckpt")
+                ckpt.save_checkpoint(path, state, epoch=epoch,
+                                     batch_size=batch_size)
+                logger.info(f"Checkpoint save enqueued (async): {path}")
 
-    path = os.path.join(args.exp_dir, "model_last.ckpt")
-    ckpt.save_checkpoint(path, state, epoch=training_epoch - 1,
-                         batch_size=batch_size, block=True)
-    logger.info(f"Checkpoint is saved: {path}")
-    logger.info("Training Over...")
+        path = os.path.join(args.exp_dir, "model_last.ckpt")
+        ckpt.save_checkpoint(path, state, epoch=training_epoch - 1,
+                             batch_size=batch_size, block=True)
+        logger.info(f"Checkpoint is saved: {path}")
+        logger.info("Training Over...")
+
+    finally:
+        # async epoch saves must commit even on exceptions /
+        # KeyboardInterrupt exits from the loop (ADVICE r3)
+        ckpt.wait_for_saves()
 
 
 if __name__ == "__main__":

@@ -168,6 +168,17 @@ def full_attention(q: Array, k: Array, v: Array, kv_mask: Array,
 FLASH_FULL_MIN_T = 256
 
 
+def _runs_on_tpu(x: Array) -> bool:
+    """Whether `x`'s computation lands on TPU. Concrete arrays answer from
+    their actual placement (so explicitly CPU-placed work on a TPU host
+    stays dense); tracers (inside jit) can't name a device, so fall back
+    to the backend the trace will compile for (jax.default_backend)."""
+    try:
+        return all(d.platform == "tpu" for d in x.devices())
+    except Exception:  # tracer under jit, or abstract array
+        return jax.default_backend() == "tpu"
+
+
 def _flash_block(t: int) -> int | None:
     """Largest legal flash block size dividing t (None: no legal block)."""
     for b in (512, 256, 128):
@@ -211,7 +222,7 @@ def full_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
     parity with dense (DEVNOTES), so gradients ride the dense form."""
     tq, tk = q.shape[1], k.shape[1]
     if (allow_flash and tq >= FLASH_FULL_MIN_T and tk >= FLASH_FULL_MIN_T
-            and jax.default_backend() == "tpu"):
+            and _runs_on_tpu(q)):
         bq, bk = _flash_block(tq), _flash_block(tk)
         if bq is not None and bk is not None:
             return _full_attention_flash(q, k, v, kv_mask, n_head=n_head,
@@ -331,7 +342,7 @@ def band_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
     no-PE kernel has a flash custom VJP; the rel-PE kernel pairs its
     forward with the dense backward."""
     t = q.shape[1]
-    if t >= PALLAS_BAND_MIN_T and jax.default_backend() == "tpu":
+    if t >= PALLAS_BAND_MIN_T and _runs_on_tpu(q):
         if rel_pe is not None:
             return _band_pallas_pe(q, k, v, kv_mask, rel_pe, n_head,
                                    window_size)

@@ -62,6 +62,7 @@ def restore_checkpoint(path: str, state) -> tuple[Any, int, int]:
     """Restore into an existing TrainState template. Returns
     (state, crt_epoch, batch_size)."""
     path = os.path.abspath(path)
+    wait_for_saves()  # a same-process in-flight async save must commit first
     template = {
         "params": state.params,
         "ema_params": state.ema_params,
@@ -82,6 +83,7 @@ def restore_params_for_eval(path: str, params_template) -> Any:
     """Load eval weights, preferring EMA when present (reference
     eval.py:119-122)."""
     path = os.path.abspath(path)
+    wait_for_saves()  # a same-process in-flight async save must commit first
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)  # raw pytree, no template needed
     tree = payload.get("ema_params", payload.get("params"))

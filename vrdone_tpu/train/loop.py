@@ -47,10 +47,22 @@ def create_train_state(cfg: ModelConfig, training_config: dict,
     for the final layouts (see commit_state).
     """
     model = MaskVRD(cfg)
-    params = model.init(
-        {"params": rng},
-        sample_batch["feats"], sample_batch["seq_mask"],
-        deterministic=True)["params"]
+    if jax.default_backend() == "cpu":
+        # eager init: on CPU the op dispatches are cheap and a full-model
+        # jit compile would dominate (test-suite path)
+        params = model.init(
+            {"params": rng},
+            sample_batch["feats"], sample_batch["seq_mask"],
+            deterministic=True)["params"]
+    else:
+        # jit the init: one compiled (and persistently cached) program
+        # instead of thousands of eager op dispatches — on the
+        # remote-dispatch axon TPU path the eager form costs minutes
+        # (DEVNOTES round 4)
+        init_fn = jax.jit(lambda r, f, m: model.init(
+            {"params": r}, f, m, deterministic=True))
+        params = init_fn(rng, sample_batch["feats"],
+                         sample_batch["seq_mask"])["params"]
     if mesh is not None:
         if tp:
             from ..parallel.mesh import shard_params
