@@ -19,6 +19,7 @@ peak) go to stderr as extra JSON lines.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,6 +30,17 @@ import jax.numpy as jnp
 
 TORCH_CPU_BASELINE_PAIRS_PER_SEC = 7.6
 V5E_BF16_PEAK_FLOPS = 197e12
+
+# Wall-clock budget for the whole bench run. The driver kills bench.py at
+# its own timeout (round-3 lesson: rc=124, no headline recorded), so the
+# headline is printed FIRST and every supplementary section is skipped
+# once the remaining budget can't cover its estimated cost.
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("VRDONE_BENCH_BUDGET_S", "900"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
 
 BATCH_PAIRS = 128   # measured sweet spot (64: 11304, 128: 11686,
                     # 256: 11425 pairs/s, 2026-08-17)
@@ -59,14 +71,18 @@ def main():
     key = jax.random.key(0)
     feats = jax.random.normal(key, (BATCH_PAIRS, SEQ_LEN, c), jnp.float32)
     mask = jnp.ones((BATCH_PAIRS, SEQ_LEN), bool)
-    params = model.init({"params": key}, feats, mask,
-                        deterministic=True)["params"]
+    params = jax.jit(lambda k, f, m: model.init(
+        {"params": k}, f, m, deterministic=True))(key, feats,
+                                                  mask)["params"]
     # bf16 serving precision (LN stats / softmax / heads stay f32 inside)
     params = cast_floating(params)
     feats = feats.astype(jnp.bfloat16)
 
+    # params are an ARGUMENT, not a closed-over constant: baking them in
+    # produced a 222 MB serialized executable whose transfer to the remote
+    # axon device cost 5-10 min per run, cache hit or not (DEVNOTES r4)
     @jax.jit
-    def forward(feats, mask):
+    def forward(params, feats, mask):
         preds = model.apply({"params": params}, feats, mask,
                             deterministic=True)
         # include the decode-side math that runs per forward at eval
@@ -76,10 +92,10 @@ def main():
         return scores, catids, masks_bin
 
     _progress("compiling vidvrd eval forward")
-    lowered = forward.lower(feats, mask)
+    lowered = forward.lower(params, feats, mask)
     compiled = lowered.compile()
     _progress("vidvrd eval forward compiled")
-    out = compiled(feats, mask)
+    out = compiled(params, feats, mask)
     _drain(out)
 
     # NOTE on methodology: jax.block_until_ready does not reliably force
@@ -90,13 +106,26 @@ def main():
     n_iter = 50
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = compiled(feats, mask)
+        out = compiled(params, feats, mask)
     _drain(out)
     dt = (time.perf_counter() - t0) / n_iter
     pairs_per_sec = BATCH_PAIRS / dt
 
+    # HEADLINE FIRST (driver contract: one JSON line on stdout). Printed
+    # before any supplementary section so a driver-side timeout can never
+    # erase it (round-3 lesson).
+    print(json.dumps({
+        "metric": "vidvrd_eval_forward_so_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / TORCH_CPU_BASELINE_PAIRS_PER_SEC,
+                             2),
+    }), flush=True)
+
+    def emit(rec):
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
     # compiler-reported FLOPs -> achieved TFLOP/s and MFU vs v5e bf16 peak
-    extra = []
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -104,64 +133,53 @@ def main():
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             tflops = flops / dt / 1e12
-            extra.append({"metric": "eval_forward_achieved_tflops_per_sec",
-                          "value": round(tflops, 2), "unit": "TFLOP/s",
-                          "vs_baseline": round(
-                              tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4)})
+            emit({"metric": "eval_forward_achieved_tflops_per_sec",
+                  "value": round(tflops, 2), "unit": "TFLOP/s",
+                  "vs_baseline": round(
+                      tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4)})
     except Exception:
         pass
 
-    # VidOR eval forward (T=512, vidor.yaml dims, bf16) — the larger
-    # benchmark corpus gets its own pinned chip number (VERDICT r2
-    # item 7)
-    _progress("vidvrd eval done; starting vidor eval")
-    try:
-        extra.append(_vidor_eval_metric())
-    except Exception as e:
-        extra.append({"metric": "vidor_eval_error", "value": str(e)})
-    _progress("vidor eval done; starting train step (24-pair fp32)")
+    # Supplementary sections, most valuable first, each gated on the
+    # remaining wall-clock budget (min_slack ~= section cost incl. a cold
+    # compile; generous because the axon remote compile path is slow).
+    #   1. fused train step, 24-pair VidVRD parity shape (fp32 — at this
+    #      latency-bound batch bf16's cast traffic measured SLOWER,
+    #      29.9 vs 17.96 ms/step, 2026-08-16)
+    #   2. b96 bf16 production recipe (bandwidth-bound: halving
+    #      activation bytes wins, 30.1 ms = 3187 pairs/s at 30.9% MFU
+    #      vs 38.1 ms fp32, 2026-08-17)
+    #   3. VidOR eval forward (T=512, bf16) — the larger corpus's pinned
+    #      chip number (VERDICT r2 item 7)
+    #   4. detect_video serving frames/s (L9)
+    import dataclasses
 
-    # fused train step (forward + Hungarian + losses + backward + AdamW +
-    # EMA) on a 1-chip mesh: the 24-pair VidVRD parity shape (fp32 — at
-    # this latency-bound batch, bf16's cast traffic measured SLOWER,
-    # 29.9 vs 17.96 ms/step, 2026-08-16) AND the documented larger-batch
-    # production recipe (96 pairs = 24 videos x 4 pairs, bf16 compute).
-    # At b96 the step is bandwidth-bound (time scales with compiler
-    # bytes-accessed, DEVNOTES round-3 MFU analysis), so halving
-    # activation bytes wins: bf16 b96 measured 30.1 ms = 3187 pairs/s at
-    # 30.9% MFU vs 38.1 ms fp32 (2026-08-17).
-    try:
-        extra.append(_train_step_metric(cfg, c))
-    except Exception as e:  # keep the headline alive no matter what
-        extra.append({"metric": "train_step_error", "value": str(e)})
-    _progress("train step done; starting b96 bf16 train step")
-    try:
-        import dataclasses
-        extra.append(_train_step_metric(
+    def _b96_metric():
+        return _train_step_metric(
             dataclasses.replace(cfg, compute_dtype="bfloat16"), c,
-            pairs=96, tag="train_step_b96_bf16"))
-    except Exception as e:
-        extra.append({"metric": "train_step_b96_bf16_error",
-                      "value": str(e)})
-    _progress("b96 train step done; starting serving metric")
+            pairs=96, tag="train_step_b96_bf16")
 
-    # video-detection serving (L9): phase-method frames/s at the
-    # production shape, bf16 precompute (DEVNOTES "Serving round 3b")
-    try:
-        extra.append(_serving_metric())
-    except Exception as e:
-        extra.append({"metric": "serving_error", "value": str(e)})
-
-    for rec in extra:
-        print(json.dumps(rec), file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "vidvrd_eval_forward_so_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 1),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / TORCH_CPU_BASELINE_PAIRS_PER_SEC,
-                             2),
-    }))
+    sections = [
+        ("train_step", lambda: _train_step_metric(cfg, c), 100.0),
+        ("train_step_b96_bf16", _b96_metric, 100.0),
+        ("vidor_eval", _vidor_eval_metric, 90.0),
+        ("serving", _serving_metric, 120.0),
+    ]
+    for name, fn, min_slack in sections:
+        if _remaining() < min_slack:
+            emit({"metric": f"{name}_skipped",
+                  "value": round(_remaining(), 1),
+                  "unit": "s_budget_left",
+                  "note": f"skipped: needs ~{min_slack}s "
+                          f"(VRDONE_BENCH_BUDGET_S={_BUDGET_S:.0f})"})
+            continue
+        _progress(f"starting {name} "
+                  f"(budget left {_remaining():.0f}s)")
+        try:
+            emit(fn())
+        except Exception as e:
+            emit({"metric": f"{name}_error", "value": str(e)})
+    _progress("bench complete")
 
 
 def _vidor_eval_metric():
@@ -180,13 +198,14 @@ def _vidor_eval_metric():
     key = jax.random.key(0)
     feats = jax.random.normal(key, (b, t, c), jnp.float32)
     mask = jnp.ones((b, t), bool)
-    params = model.init({"params": key}, feats, mask,
-                        deterministic=True)["params"]
+    params = jax.jit(lambda k, f, m: model.init(
+        {"params": k}, f, m, deterministic=True))(key, feats,
+                                                  mask)["params"]
     params = cast_floating(params)
     feats = feats.astype(jnp.bfloat16)
 
     @jax.jit
-    def forward(feats, mask):
+    def forward(params, feats, mask):
         preds = model.apply({"params": params}, feats, mask,
                             deterministic=True)
         probs = jax.nn.softmax(preds["pred_logits"], axis=-1)
@@ -194,13 +213,13 @@ def _vidor_eval_metric():
         masks_bin = jax.nn.sigmoid(preds["pred_masks"]) > 0.5
         return scores, catids, masks_bin
 
-    compiled = forward.lower(feats, mask).compile()
-    out = compiled(feats, mask)
+    compiled = forward.lower(params, feats, mask).compile()
+    out = compiled(params, feats, mask)
     _drain(out)
     n_iter = 30
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = compiled(feats, mask)
+        out = compiled(params, feats, mask)
     _drain(out)
     dt = (time.perf_counter() - t0) / n_iter
     rec = {"metric": "vidor_eval_forward_so_pairs_per_sec_per_chip",
@@ -238,8 +257,7 @@ def _train_step_metric(cfg, c, tag="train_step", pairs=24):
     import numpy as np
 
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
-    from vrdone_tpu.train.loop import (commit_state, create_train_state,
-                                       make_jitted_train_step)
+    from vrdone_tpu.train.loop import commit_state, create_train_state
 
     # default: production VidVRD shape, batch 6 videos x 4 pairs, T=96,
     # 9 gt slots; pairs=96 measures the large-batch recipe (24 x 4)
@@ -268,29 +286,49 @@ def _train_step_metric(cfg, c, tag="train_step", pairs=24):
     state, _ = create_train_state(cfg, training_config, 1000,
                                   jax.random.key(0), jb)
     state = commit_state(state, mesh)
-    step_fn = make_jitted_train_step(cfg, mesh)
     sharded = shard_batch(mesh, jb)
-    state, losses = step_fn(state, sharded, jax.random.key(1))
-    _drain(losses)
 
-    # steps chain through `state`, so the device runs them sequentially;
-    # the final drain waits for the chain (see _drain note)
+    # n_iter steps chained inside ONE dispatch (lax.scan over the step).
+    # A per-step host dispatch loop measures the tunnel, not the chip:
+    # on the remote axon path each dispatch of the ~500-leaf state tree
+    # costs 5-100 ms host-side (measured 2026-08-19, DEVNOTES "Tunnel
+    # degradation"), which quadrupled the reported step time while the
+    # compiled program was byte-identical. Production training dispatches
+    # from a local host (microseconds) or jits whole epochs, so the
+    # scan-chained number is the honest per-chip throughput.
+    import functools
+
+    from vrdone_tpu.train.loop import train_step
+
     n_iter = 20
+    step = functools.partial(train_step, cfg=cfg)
+
+    def multi_step(state, batch, rng):
+        def body(st, i):
+            st, losses = step(st, batch, jax.random.fold_in(rng, i))
+            return st, losses["total_loss"]
+        return jax.lax.scan(body, state, jnp.arange(n_iter))
+
+    multi_jit = jax.jit(multi_step, donate_argnums=(0,))
+    lowered = multi_jit.lower(state, sharded, jax.random.key(1))
+    compiled = lowered.compile()
+    state2, tl = compiled(state, sharded, jax.random.key(1))  # warm-up
+    _drain(tl)
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        state, losses = step_fn(state, sharded, jax.random.fold_in(
-            jax.random.key(2), i))
-    _drain(losses)
+    state3, tl = compiled(state2, sharded, jax.random.key(2))
+    _drain(tl)
     dt = (time.perf_counter() - t0) / n_iter
     rec = {"metric": f"{tag}_so_pairs_per_sec_per_chip",
            "value": round(p / dt, 1), "unit": "pairs/s",
            "vs_baseline": round(dt * 1e3, 2),
            "note": "vs_baseline field = step latency ms"}
     try:
-        cost = step_fn.lower(state, sharded,
-                             jax.random.key(3)).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
+        # XLA's cost analysis counts a scan/while body ONCE, not x trip
+        # count (verified on this JAX: scan of 20 matmuls reports one
+        # matmul's flops) — so this is already per-step flops.
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             rec["mfu_vs_v5e_bf16_peak"] = round(

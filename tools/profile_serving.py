@@ -58,15 +58,25 @@ def measure(frames: int = 30, canvas=(608, 1088), chunk: int = 4,
     params = init_detector_params(det, images[0], hw, key_post_nms=300)
     cparams = _cast_f32_leaves(params, jnp.dtype(dtype))
 
+    # stage the whole uint8 video on device BEFORE the timed region: the
+    # H2D path here is a WAN tunnel (~0.05 GB/s measured 2026-08-19,
+    # DEVNOTES "Tunnel degradation") whereas production frames arrive
+    # over local PCIe at GB/s. The timed phases slice on-device.
+    images_dev = jax.device_put(images)
+    np.asarray(images_dev[0, 0, 0])     # force the transfer now
+
     def phase_precompute():
         outs = []
         for lo in range(0, t_total, chunk):
             hi = min(lo + chunk, t_total)
-            imgs = images[lo:hi]
             if hi - lo < chunk:
-                imgs = np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], chunk - (hi - lo), axis=0)])
-            outs.append(run(cparams, jnp.asarray(imgs), hw))
+                imgs = jnp.concatenate(
+                    [images_dev[lo:hi],
+                     jnp.repeat(images_dev[hi - 1:hi],
+                                chunk - (hi - lo), axis=0)])
+            else:
+                imgs = jax.lax.slice_in_dim(images_dev, lo, hi, axis=0)
+            outs.append(run(cparams, imgs, hw))
         np.asarray(outs[-1][1])            # D2H drain forces execution
         return outs
 
