@@ -167,6 +167,19 @@ def full_attention(q: Array, k: Array, v: Array, kv_mask: Array,
 # "Flash attention block-size tuning".
 FLASH_FULL_MIN_T = 256
 
+# Train-time flash opt-in (VRDONE_FLASH_TRAIN=1). Hypothesis was that
+# dropping the dense form's (B, H, T, T) softmax backward residual would
+# unlock VidOR batch scaling. Chip verdict (DEVNOTES "Flash in training",
+# 2026-08-19): parity at b24/b48, +7% at b96, but per-pair throughput
+# still peaks at b48 either way — the step is HBM-bandwidth-bound on
+# other traffic, not residual-capacity-bound. Default stays dense
+# (identical numerics to the golden tests, 3.6x faster compiles); the
+# flag remains for long-T experiments. No semantic gate needed:
+# attention dropout is 0 in every shipped config (and not implemented in
+# either path).
+import os as _os
+FLASH_TRAIN = _os.environ.get("VRDONE_FLASH_TRAIN", "0") == "1"
+
 
 def _runs_on_tpu(x: Array) -> bool:
     """Whether `x`'s computation lands on TPU. Concrete arrays answer from
@@ -219,9 +232,11 @@ def full_attention_auto(q: Array, k: Array, v: Array, kv_mask: Array, *,
     """full_attention with automatic kernel selection: the tuned flash
     kernel on TPU for long deterministic forwards, dense otherwise.
     Callers pass allow_flash=deterministic — the flash fwd+bwd is only
-    parity with dense (DEVNOTES), so gradients ride the dense form."""
+    parity with dense (DEVNOTES), so gradients ride the dense form unless
+    FLASH_TRAIN opts training in (kills the (B,H,T,T) backward residual)."""
     tq, tk = q.shape[1], k.shape[1]
-    if (allow_flash and tq >= FLASH_FULL_MIN_T and tk >= FLASH_FULL_MIN_T
+    if ((allow_flash or FLASH_TRAIN)
+            and tq >= FLASH_FULL_MIN_T and tk >= FLASH_FULL_MIN_T
             and _runs_on_tpu(q)):
         bq, bk = _flash_block(tq), _flash_block(tk)
         if bq is not None and bk is not None:
@@ -295,7 +310,8 @@ def band_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
 # T=512 dense 2.57 ms / pallas 2.86 ms; T=768 3.83 / 3.79 (cross-over);
 # T=1024 5.74 / 4.75. The kernel also avoids the dense form's O(B*H*T^2)
 # score materialisation, which dominates HBM past a few thousand frames.
-PALLAS_BAND_MIN_T = 768
+# Env-overridable for experiments (VRDONE_PALLAS_BAND_MIN_T).
+PALLAS_BAND_MIN_T = int(_os.environ.get("VRDONE_PALLAS_BAND_MIN_T", "768"))
 
 
 import functools as _functools
