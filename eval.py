@@ -41,11 +41,21 @@ def parse_args():
     p.add_argument("--eval_file_name", type=str, default="eval")
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--save_result", default=False, action="store_true")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="call jax.distributed.initialize(); test videos "
+                        "are strided across processes and predictions "
+                        "merged before scoring (the reference evaluates "
+                        "on a single GPU, reference eval.py:83)")
+    p.add_argument("--eval_dp", type=int, default=1,
+                   help="shard each bucketed pair batch over this many "
+                        "local devices (data-parallel eval forward)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.multihost:
+        jax.distributed.initialize()
     config = load_yaml_config(args.cfg_path)
     if args.epochs is not None:
         config["training_config"]["training_epoch"] = args.epochs
@@ -61,6 +71,7 @@ def main():
 
     os.makedirs(args.exp_dir, exist_ok=True)
     logger = setup_logger("Test", os.path.join(args.exp_dir, "logfile"),
+                          distributed_rank=jax.process_index(),
                           filename=args.eval_file_name + "_log.json")
     logger.info(f"JAX {jax.__version__}, devices: {jax.devices()}")
 
@@ -101,14 +112,27 @@ def main():
     if model_cfg.with_clip_feature:
         c += 2 * model_cfg.clip_dim
 
+    mesh = None
+    if args.eval_dp > 1:
+        from vrdone_tpu.parallel.mesh import make_mesh
+        devs = jax.local_devices()
+        assert args.eval_dp <= len(devs), (args.eval_dp, devs)
+        mesh = make_mesh(n_dp=args.eval_dp, devices=devs[:args.eval_dp])
+        logger.info(f"Eval forward sharded over {args.eval_dp} devices")
+
     all_results = defaultdict(list)
     for ckpt_idx, ckpt_path in enumerate(ckpt_paths):
         logger.info(f"Loading checkpoint from: {ckpt_path}")
         params = restore_params_for_eval(ckpt_path, None)
-        runner = InferenceRunner(model_cfg, params, infer_cfg, c)
+        runner = InferenceRunner(model_cfg, params, infer_cfg, c, mesh=mesh)
 
         predict_relations = {}
         for idx in range(dataset.num_test_items()):
+            # stride videos across processes (reference equivalent:
+            # MEGA's sharded inference, mega_core/engine/inference.py;
+            # the relation eval itself is single-GPU in the reference)
+            if idx % jax.process_count() != jax.process_index():
+                continue
             item = dataset.get_test_item(idx)
             if item is None:
                 continue
@@ -117,6 +141,9 @@ def main():
                 continue
             predict_relations.update(
                 to_eval_format(args.data_name, item["video_name"], triplets))
+        if jax.process_count() > 1:
+            from vrdone_tpu.parallel.comm import accumulate_predictions
+            predict_relations = accumulate_predictions(predict_relations)
 
         if len(predict_relations) < 1:
             logger.info("None of valid prediction.")
@@ -128,7 +155,7 @@ def main():
             all_results[k].append(v)
             logger.info(f"{k}: {v:.6f}")
 
-        if args.save_result:
+        if args.save_result and jax.process_index() == 0:
             save_path = os.path.join(
                 args.exp_dir,
                 f"predicted_relations_topk{args.topk}_"

@@ -107,7 +107,7 @@ def test_train_then_eval(tmp_path):
         [sys.executable, "eval.py", "--data_name", "vidvrd",
          "--cfg_path", cfg_path, "--exp_dir", exp_dir,
          "--ckpt_path", os.path.join(exp_dir, "model_last.ckpt"),
-         "--topk", "3", "--save_result"],
+         "--topk", "3", "--save_result", "--eval_dp", "2"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=1200)
     assert r.returncode == 0, r.stderr[-3000:]

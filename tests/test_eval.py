@@ -431,3 +431,46 @@ def test_corpus_ar_merges_across_videos_by_score():
                                             det_nreturns=(1, 50))
     assert rec_at_n[50] == pytest.approx(1.0)
     assert rec_at_n[1] == pytest.approx(0.5)
+
+
+def test_dp_sharded_runner_matches_single_device():
+    """InferenceRunner(mesh=...) shards the pack axis over the dp mesh;
+    per-item math is untouched, so outputs must match the single-device
+    runner on every bucket shape (short + long)."""
+    import __graft_entry__ as g
+    from vrdone_tpu.config import PredictorConfig
+    from vrdone_tpu.models.maskvrd import MaskVRD
+    from vrdone_tpu.parallel.mesh import make_mesh
+
+    cfg = g._vidvrd_cfg(
+        visual_dim=16, embd_dim=32, num_classes=10, fpn_dim=16,
+        max_seq_len=48,
+        predictor=PredictorConfig(n_input=32, n_embd=16, n_head=4,
+                                  n_hidden=64, num_queries=9,
+                                  num_classes=10, num_layers=2,
+                                  deep_supervision=False))
+    c = g._feat_dim(cfg)
+    model = MaskVRD(cfg)
+    key = jax.random.key(0)
+    params = jax.jit(lambda k, f, m: model.init(
+        {"params": k}, f, m, deterministic=True))(
+            key, jnp.zeros((2, cfg.max_seq_len, c)),
+            jnp.ones((2, cfg.max_seq_len), bool))["params"]
+
+    rng = np.random.default_rng(0)
+    # short bucket (<= max_seq_len) and long bucket lengths
+    so_features = [rng.standard_normal((t, c)).astype(np.float32)
+                   for t in (7, 20, 48, 60, 33)]
+    infer = InferenceConfig(topk=4, feat_stride=1, pred_min_frames=2,
+                            n_max_pair=100, viou_th=0.5, max_so_pair=200)
+
+    single = InferenceRunner(cfg, params, infer, c)
+    mesh = make_mesh(n_dp=8)
+    sharded = InferenceRunner(cfg, params, infer, c, mesh=mesh)
+
+    s0, c0, m0 = single.run_pairs(so_features)
+    s1, c1, m1 = sharded.run_pairs(so_features)
+    for i in range(len(so_features)):
+        np.testing.assert_allclose(s0[i], s1[i], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(c0[i], c1[i])
+        np.testing.assert_array_equal(m0[i], m1[i])

@@ -72,6 +72,12 @@ _CHILD = textwrap.dedent("""
     merged = accumulate_predictions({2 * pid: "p", 2 * pid + 1: "q"})
     assert sorted(merged) == [0, 1, 2, 3], merged
 
+    # relation-eval merge path (eval.py --multihost): video-name keys —
+    # must merge without tripping the integer-contiguity warning logic
+    rels = accumulate_predictions(
+        {f"vid_{pid}_{i}": [{"score": pid}] for i in range(2)})
+    assert len(rels) == 4, rels
+
     print(f"proc {pid}: global sum {out} OK", flush=True)
     jax.distributed.shutdown()
 """)

@@ -35,15 +35,27 @@ def _pack_size(n: int, max_so_pair: int) -> int:
 
 
 class InferenceRunner:
-    """Caches one jitted forward per (pack, length) bucket shape."""
+    """Caches one jitted forward per (pack, length) bucket shape.
+
+    With a `mesh`, each bucket batch is sharded over the mesh's "dp"
+    axis (params replicated), so one process drives all its local chips
+    through a single jitted program — per-item math is untouched, XLA
+    just splits the pack axis. The reference evaluates on exactly one
+    GPU (reference eval.py:83); this is a capability on top.
+    """
 
     def __init__(self, cfg: ModelConfig, params, infer: InferenceConfig,
-                 feat_dim: int):
+                 feat_dim: int, mesh=None):
         self.cfg = cfg
         self.infer = infer
-        self.params = params
         self.feat_dim = feat_dim
         self.model = MaskVRD(cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+            self._batch_sharding = batch_sharding(mesh)
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
         self._fns: dict[tuple[int, int], Callable] = {}
 
     def _forward(self, pack: int, length: int):
@@ -81,12 +93,21 @@ class InferenceRunner:
             for chunk_start in range(0, len(idxs), max_pack):
                 chunk = idxs[chunk_start:chunk_start + max_pack]
                 pack = _pack_size(len(chunk), self.infer.max_so_pair)
+                if self.mesh is not None:
+                    # pack axis must split evenly over dp devices
+                    n_dp = self.mesh.shape["dp"]
+                    pack = -(-pack // n_dp) * n_dp
                 batch, n_real = batching.pack_eval_bucket(
                     [so_features[i] for i in chunk], int(pad_len), pack,
                     self.feat_dim)
+                feats = jnp.asarray(batch["feats"])
+                seq_mask = jnp.asarray(batch["seq_mask"])
+                if self.mesh is not None:
+                    feats = jax.device_put(feats, self._batch_sharding)
+                    seq_mask = jax.device_put(seq_mask,
+                                              self._batch_sharding)
                 fn = self._forward(pack, int(pad_len))
-                s, c, m = fn(self.params, jnp.asarray(batch["feats"]),
-                             jnp.asarray(batch["seq_mask"]))
+                s, c, m = fn(self.params, feats, seq_mask)
                 s, c, m = np.asarray(s), np.asarray(c), np.asarray(m)
                 for j, i in enumerate(chunk):
                     scores[i] = s[j]

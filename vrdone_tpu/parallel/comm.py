@@ -66,7 +66,10 @@ def accumulate_predictions(local_preds: dict) -> dict:
     for part in all_gather_objects(local_preds):
         merged.update(part)
     ids = sorted(merged)
-    if ids and ids != list(range(ids[0], ids[0] + len(ids))):
+    # the contiguity check only makes sense for integer image ids (the
+    # detector path); relation eval merges {video_name: relations} dicts
+    if (ids and all(isinstance(i, int) for i in ids)
+            and ids != list(range(ids[0], ids[0] + len(ids)))):
         import logging
         logging.getLogger("vrdone_tpu").warning(
             "accumulate_predictions: image ids are not contiguous — "
