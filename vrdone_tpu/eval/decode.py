@@ -100,12 +100,18 @@ class InferenceRunner:
                 batch, n_real = batching.pack_eval_bucket(
                     [so_features[i] for i in chunk], int(pad_len), pack,
                     self.feat_dim)
-                feats = jnp.asarray(batch["feats"])
-                seq_mask = jnp.asarray(batch["seq_mask"])
                 if self.mesh is not None:
-                    feats = jax.device_put(feats, self._batch_sharding)
-                    seq_mask = jax.device_put(seq_mask,
+                    # device_put the host arrays straight to the mesh
+                    # sharding — an intermediate jnp.asarray would commit
+                    # them to the default device first and cost an extra
+                    # H2D transfer per bucket batch
+                    feats = jax.device_put(batch["feats"],
+                                           self._batch_sharding)
+                    seq_mask = jax.device_put(batch["seq_mask"],
                                               self._batch_sharding)
+                else:
+                    feats = jnp.asarray(batch["feats"])
+                    seq_mask = jnp.asarray(batch["seq_mask"])
                 fn = self._forward(pack, int(pad_len))
                 s, c, m = fn(self.params, feats, seq_mask)
                 s, c, m = np.asarray(s), np.asarray(c), np.asarray(m)

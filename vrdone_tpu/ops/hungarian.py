@@ -178,6 +178,14 @@ def match_padded(cost: Array, col_valid: Array) -> tuple[Array, Array]:
         # small for the f32 running sums.
         cost = jnp.where(col_valid[None, :], cost, 0.0)
         return _subset_dp_match(cost), col_valid
+    # Trace-time (not per-step) warning: the serial while-loop Hungarian
+    # below measured 10.8 ms/step before the DP replaced it — a config
+    # raising GT slots past _DP_MAX_COLS silently re-enters that path.
+    import logging
+    logging.getLogger("vrdone_tpu").warning(
+        "match_padded: G=%d > %d ground-truth slots — falling back to the "
+        "serial augmenting-path Hungarian (~10 ms/step at b96; the subset-"
+        "DP fast path needs G <= %d)", g, _DP_MAX_COLS, _DP_MAX_COLS)
     # Pad with a *data-derived* constant just above the real cost range.
     # A huge sentinel (1e6+) would push the dual potentials to that scale
     # and erase small cost differences via f32 cancellation in

@@ -68,8 +68,9 @@ def accumulate_predictions(local_preds: dict) -> dict:
     ids = sorted(merged)
     # the contiguity check only makes sense for integer image ids (the
     # detector path); relation eval merges {video_name: relations} dicts
-    if (ids and all(isinstance(i, int) for i in ids)
-            and ids != list(range(ids[0], ids[0] + len(ids)))):
+    if (ids and all(isinstance(i, (int, np.integer)) for i in ids)
+            and list(ids) != list(range(int(ids[0]),
+                                        int(ids[0]) + len(ids)))):
         import logging
         logging.getLogger("vrdone_tpu").warning(
             "accumulate_predictions: image ids are not contiguous — "

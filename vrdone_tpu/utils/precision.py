@@ -17,3 +17,14 @@ def cast_floating(tree, dtype=jnp.bfloat16):
             return x.astype(dtype)
         return x
     return jax.tree.map(cast, tree)
+
+
+def cast_floating_onedispatch(tree, dtype=jnp.bfloat16):
+    """cast_floating fused into ONE jitted program.
+
+    Outside jit, the naive tree.map dispatches one convert_element_type
+    per leaf — ~50 compiles x 0.5 s each over the remote (axon) dispatch
+    path (measured 2026-08-20, ~25 s per cast_floating call in bench).
+    One program = one dispatch.
+    """
+    return jax.jit(cast_floating, static_argnames="dtype")(tree, dtype=dtype)
