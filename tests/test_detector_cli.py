@@ -334,3 +334,104 @@ def test_train_detector_multiscale_smoke(tmp_path):
     # the scaled canvas bucket exists (96/64 x (64, 96) -> (96, 160)
     # after the 32-px round-up)
     assert "(96, 160)" in log
+
+
+@pytest.mark.slow
+def test_extract_proposal_features_roundtrip(tmp_path):
+    """Proposal-box test-feature CLI (reference
+    extract_test_features_vidvrd.py counterpart) end to end: BIG proposal
+    pickle -> test_boxfeatures pickle -> VidVRDDataset._prepare_test /
+    get_test_item consume it (the count/coverage asserts in the loader
+    are the contract)."""
+    from PIL import Image
+    import json as js
+    import pickle as pk
+    rng = np.random.default_rng(4)
+    root = str(tmp_path)
+    name = "vidP"
+    h, w, video_len = 64, 96, 6
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(os.path.join(frames_dir, name))
+    for f in range(video_len):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(frames_dir, name, f"{f + 1:06d}.jpg"))
+
+    # three overlapping trajectories (durations closed, loader adds +1)
+    durations = np.asarray([[0, 4], [1, 5], [2, 4]], np.int64)
+    bboxes = []
+    for s, e in durations:
+        boxes = []
+        for _ in range(e - s + 1):
+            x0 = float(rng.uniform(0, w - 30)); y0 = float(rng.uniform(0, h - 30))
+            boxes.append([x0, y0, x0 + 25, y0 + 25])
+        bboxes.append(np.asarray(boxes, np.float32))
+    proposal = {
+        "video_name": name,
+        "cat_ids": np.asarray([1, 2, 1], np.int64),
+        "scores": rng.random(3).astype(np.float32),
+        "bboxes_list": bboxes,
+        "traj_durations": durations,
+        "features_list": [rng.standard_normal((len(b), 8)).astype(np.float32)
+                          for b in bboxes],
+        "num_proposals": 3,
+        "video_len": video_len,
+        "video_wh": (w, h),
+    }
+    prop_dir = os.path.join(root, "features", "per_video_val")
+    os.makedirs(prop_dir)
+    with open(os.path.join(prop_dir, name + ".pkl"), "wb") as f:
+        pk.dump({"traj_proposal": proposal}, f)
+
+    # test-split annotation (the dataset enumerates videos from it)
+    ann_dir = os.path.join(root, "annotations", "test")
+    os.makedirs(ann_dir)
+    trajectories = [[] for _ in range(video_len)]
+    for fid in range(5):
+        x0, y0, x1, y1 = bboxes[0][fid].tolist()
+        trajectories[fid].append({"tid": 0, "bbox": {
+            "xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1}})
+    anno = {"video_id": name, "height": h, "width": w,
+            "frame_count": video_len,
+            "subject/objects": [{"tid": 0, "category": "dog"}],
+            "trajectories": trajectories, "relation_instances": []}
+    with open(os.path.join(ann_dir, name + ".json"), "w") as f:
+        js.dump(anno, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out_dir = os.path.join(root, "feats_test")
+    r = subprocess.run(
+        [sys.executable, "tools/extract_proposal_features.py",
+         "--proposal_dir", prop_dir, "--frames_dir", frames_dir,
+         "--out_dir", out_dir, "--num_classes", "5",
+         "--resnet_layers", "1,1,1", "--window", "3",
+         "--global_size", "2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    with open(os.path.join(out_dir, name + ".pkl"), "rb") as f:
+        data = pk.load(f)
+    assert sorted(data.keys()) == list(range(video_len))
+    for fid, rec in data.items():
+        assert rec["frame_id"] == fid
+        want_tids = [t for t in range(3)
+                     if durations[t, 0] <= fid <= durations[t, 1]]
+        assert rec["tids"].tolist() == want_tids
+        assert rec["visual_features"].shape == (len(want_tids), 1024)
+        assert np.isfinite(rec["visual_features"]).all()
+
+    from vrdone_tpu.data.datasets import VidVRDDataset
+    ds = VidVRDDataset({
+        "ann_dir": os.path.join(root, "annotations"),
+        "cache_tag": "T", "cache_dir": os.path.join(root, "cache"),
+        "feat_stride": 1, "max_seq_len": 16, "split": "test",
+        "proposal_min_frames": 2, "random_stride": False,
+        "stride_offset": 0, "info_dir": prop_dir,
+        "test_boxfeatures_dir": out_dir,
+    })
+    item = ds.get_test_item(0, rng=np.random.default_rng(0))
+    assert item is not None and item["video_name"] == name
+    assert len(item["so_features_list"]) == len(item["sids"])
