@@ -130,7 +130,7 @@ def build_video_graph(anno: dict, video_name: str,
 
     traj_durations = np.asarray(durations, np.int64)
     traj_durations[:, 1] -= 1                      # closed interval
-    pred_dur = np.asarray(pred_durations, np.float32)
+    pred_dur = np.asarray(pred_durations, np.float32).reshape(p, 2)
     pred_dur[:, 1] -= 1.0
 
     if split == "train" and p > max_preds:
