@@ -57,7 +57,7 @@ def _drain(out):
 
 
 def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None,
-            remat=None, remat_policy=None):
+            remat=None, remat_policy=None, stream_batch=None):
     from dataclasses import replace
     if dtype:
         cfg = replace(cfg, compute_dtype=dtype)
@@ -65,6 +65,8 @@ def measure(cfg, c, pairs, trace_dir=None, n_iter=20, dtype=None,
         cfg = replace(cfg, remat=remat)
     if remat_policy is not None:
         cfg = replace(cfg, remat_policy=remat_policy)
+    if stream_batch is not None:
+        cfg = replace(cfg, stem_stream_batch=stream_batch)
     from vrdone_tpu.parallel.mesh import make_mesh, shard_batch
     from vrdone_tpu.train.loop import (commit_state, create_train_state,
                                        make_jitted_train_step)
@@ -132,6 +134,9 @@ def main():
                    help="rematerialize the forward in the backward")
     p.add_argument("--remat_policy", default=None,
                    choices=[None, "full", "dots"])
+    p.add_argument("--stream_batch", action="store_true", default=None,
+                   help="batch the backbone's shared-weight s/o stream ops"
+                        " as one 2B call (cfg.stem_stream_batch)")
     p.add_argument("--config", default=None,
                    help="YAML config path (e.g. configs/vidor_local.yaml)"
                         " instead of the flagship VidVRD config")
@@ -159,11 +164,14 @@ def main():
         td = (args.trace_dir if args.trace_dir
               and pairs == args.trace_pairs else None)
         rec = measure(cfg, c, pairs, trace_dir=td, dtype=args.dtype,
-                      remat=args.remat, remat_policy=args.remat_policy)
+                      remat=args.remat, remat_policy=args.remat_policy,
+                      stream_batch=args.stream_batch)
         if args.dtype:
             rec["compute_dtype"] = args.dtype
         if args.remat:
             rec["remat"] = args.remat_policy or "full"
+        if args.stream_batch:
+            rec["stream_batch"] = True
         if args.config:
             rec["config"] = args.config
         if args.pallas_min_t is not None:

@@ -88,6 +88,10 @@ class ModelConfig:
     # right trade when the step is HBM-bandwidth-bound rather than
     # memory-capacity-bound
     remat_policy: str = "full"
+    # run the backbone's shared-weight subject/object stream ops batched
+    # as one 2B call instead of two B calls (numerically equivalent in
+    # deterministic mode; halves the kernel count of the stem)
+    stem_stream_batch: bool = False
 
     @property
     def mha_win_size(self) -> tuple[int, ...]:

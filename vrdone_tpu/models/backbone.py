@@ -52,6 +52,14 @@ class SOSBackbone(nn.Module):
     use_rel_pe: bool = False
     use_local: bool = True
     n_clip: Optional[int] = None  # set -> CLIP-fused variant
+    # batch the shared-weight subject/object stream ops as ONE 2B-row call
+    # instead of two B-row calls: same math per row (convs, LN, attention
+    # all reduce within a row), half the kernel dispatches, and XLA tiles
+    # the doubled batch onto the MXU/VPU in fewer, fuller fusions. Exact
+    # in deterministic mode; under droppath the per-sample draws land on
+    # different rows but keep the reference's independent-per-stream
+    # semantics.
+    stream_batch: bool = False
 
     def setup(self):
         assert len(self.arch) == 3
@@ -185,6 +193,9 @@ class SOSBackbone(nn.Module):
 
         Returns (feats, masks): pyramid tuples, level 0 at full resolution.
         """
+        if self.stream_batch:
+            return self._call_stream_batched(x, mask,
+                                             deterministic=deterministic)
         (s_feat, o_feat, s_clip, o_clip,
          so_bbox, s_bbox, o_bbox) = self._split_channels(x)
         mask_f = mask[..., None].astype(s_feat.dtype)
@@ -245,6 +256,78 @@ class SOSBackbone(nn.Module):
 
         s_feat = self.s_fuse_norm(s_feat)
         o_feat = self.o_fuse_norm(o_feat)
+
+        so_feat = self.so_fuse(jnp.concatenate([s_feat, o_feat], axis=-1),
+                               deterministic=deterministic) * mask_f
+        so_bbox, _ = self.bbox_so_embd(so_bbox, mask)
+        so_embedding = self.so_visual_bbox_fuse(
+            jnp.concatenate([so_feat, so_bbox], axis=-1),
+            deterministic=deterministic) * mask_f
+
+        feats = (so_embedding,)
+        masks = (mask,)
+        for blk in self.branch:
+            so_embedding, mask = blk(so_embedding, mask,
+                                     deterministic=deterministic)
+            feats += (so_embedding,)
+            masks += (mask,)
+        return feats, masks
+
+    def _call_stream_batched(self, x: Array, mask: Array, *,
+                             deterministic: bool = True
+                             ) -> tuple[tuple[Array, ...], tuple[Array, ...]]:
+        """Stream-batched flow: subject/object rows stacked on the batch
+        axis ((2B, T, C)) through every shared-weight op; split only where
+        the two streams interact (mutual cross-attention, per-stream fuse
+        norms). Same per-row math as __call__."""
+        (s_feat, o_feat, s_clip, o_clip,
+         so_bbox, s_bbox, o_bbox) = self._split_channels(x)
+        b = s_feat.shape[0]
+        t = s_feat.shape[1]
+        mask_f = mask[..., None].astype(s_feat.dtype)
+        mask2 = jnp.concatenate([mask, mask], axis=0)
+        mask2_f = mask2[..., None].astype(s_feat.dtype)
+
+        feat = jnp.concatenate([s_feat, o_feat], axis=0)       # (2B, T, nv)
+        for conv, norm in zip(self.visual_embd, self.visual_embd_norm):
+            feat, _ = conv(feat, mask2)
+            feat = jax.nn.relu(norm(feat) if norm is not None else feat)
+
+        if self.n_clip is not None:
+            clip = jnp.concatenate([s_clip, o_clip], axis=0)
+            for conv, norm in zip(self.clip_embd, self.clip_embd_norm):
+                clip, _ = conv(clip, mask2)
+                clip = jax.nn.relu(norm(clip) if norm is not None else clip)
+            feat = self.visual_clip_fuse(
+                jnp.concatenate([feat, clip], axis=-1),
+                deterministic=deterministic) * mask2_f
+
+        if self.use_abs_pe:
+            pe = self._pe(t, training=not deterministic)[None]
+            feat = feat + pe * mask2_f
+
+        bbox = jnp.concatenate([s_bbox, o_bbox], axis=0)
+        bbox, _ = self.bbox_entity_embd(bbox, mask2)
+        bbox = jax.nn.relu(self.bbox_entity_norm(bbox)
+                           if self.bbox_entity_norm is not None else bbox)
+
+        feat = self.visual_bbox_fuse(
+            jnp.concatenate([feat, bbox], axis=-1),
+            deterministic=deterministic) * mask2_f
+
+        # stem: shared encoder on the stacked streams; mutual
+        # cross-attention needs the streams apart (distinct weights)
+        for blk, s_attn, o_attn in zip(self.stem, self.s_attn, self.o_attn):
+            feat, _ = blk(feat, mask2, deterministic=deterministic)
+            s_feat, o_feat = feat[:b], feat[b:]
+            s_mut, _ = s_attn(s_feat, o_feat, mask, mask,
+                              deterministic=deterministic)
+            o_mut, _ = o_attn(o_feat, s_feat, mask, mask,
+                              deterministic=deterministic)
+            feat = jnp.concatenate([s_feat + s_mut, o_feat + o_mut], axis=0)
+
+        s_feat = self.s_fuse_norm(feat[:b])
+        o_feat = self.o_fuse_norm(feat[b:])
 
         so_feat = self.so_fuse(jnp.concatenate([s_feat, o_feat], axis=-1),
                                deterministic=deterministic) * mask_f

@@ -66,6 +66,7 @@ class MaskVRD(nn.Module):
             use_rel_pe=cfg.use_rel_pe,
             use_local=cfg.use_local,
             n_clip=cfg.clip_dim if cfg.with_clip_feature else None,
+            stream_batch=cfg.stem_stream_batch,
             name="backbone")
         self.neck = FPN1DFuse(
             in_channels=(cfg.embd_dim,) * (cfg.backbone_arch[-1] + 1),
