@@ -89,7 +89,7 @@ def measure(frames: int = 30, canvas=(608, 1088), chunk: int = 4,
         jnp.concatenate([o[i] for o in outs])[:t_total] for i in range(7))
     glob_idx = global_indices(t_total, min(det.global_size, t_total))
 
-    head = make_mega_head(det, fused_pe_bias=True)
+    head = make_mega_head(det, fused_pe_bias=True, fused_attention=True)
     hp = {"params": params["params"]["mega"]}
 
     def phase_stream():

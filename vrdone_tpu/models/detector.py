@@ -168,17 +168,20 @@ class MegaDetector(nn.Module):
 
 
 def make_mega_head(det: MegaDetector, name: str | None = None,
-                   fused_pe_bias: bool = False) -> MEGAHead:
+                   fused_pe_bias: bool = False,
+                   fused_attention: bool = False) -> MEGAHead:
     """The MEGAHead matching a detector's knobs — standalone (unbound)
     construction for the streaming scan. fused_pe_bias switches the
-    geometric bias to the pallas kernel (serving-only; same params)."""
+    geometric bias to the pallas kernel; fused_attention fuses the whole
+    grouped attention (serving-only; same params either way)."""
     return MEGAHead(
         feat_dim=1024, groups=det.groups, stage=det.stage,
         global_res_stage=det.global_res_stage,
         global_enable=det.global_enable,
         memory_enable=det.memory_enable,
         advanced_num=det.advanced_num, name=name,
-        fused_pe_bias=fused_pe_bias)
+        fused_pe_bias=fused_pe_bias,
+        fused_attention=fused_attention)
 
 
 # ---------------------------------------------------------------------------
@@ -290,16 +293,26 @@ def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int,
 
 @functools.lru_cache(maxsize=None)
 def _predict_jit(det: MegaDetector):
+    # only the two prediction Denses ride the dispatch: handing the full
+    # ~500-leaf detector tree to a per-video jit call costs ~25 ms of
+    # host-side buffer marshalling over a remote-device tunnel (DEVNOTES
+    # "Tunnel degradation") for a program that reads 4 of the leaves
     @jax.jit
-    def predict(params, v):
-        return det.apply(params, v,
-                         method=lambda m, x: m.box_head.predictions(x))
-    return predict
+    def predict(cls_p, bbox_p, v):
+        return (v @ cls_p["kernel"] + cls_p["bias"],
+                v @ bbox_p["kernel"] + bbox_p["bias"])
+
+    def run(params, v):
+        bh = params["params"]["box_head"]
+        return predict(bh["cls_score"], bh["bbox_pred"], v)
+
+    return run
 
 
 def detect_video(det: MegaDetector, params, images, image_hw, *,
                  key_post_nms: int = 300, seed: int = 0, chunk: int = 4,
                  fused_pe_bias: bool = True,
+                 fused_attention: bool | None = None,
                  compute_dtype: str = "float32"):
     """Detect every frame of a video with full MEGA semantics.
 
@@ -314,6 +327,12 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
     proposal_scores, valid, cls_logits (T, Nk, K+1), bbox_deltas,
     visual (T, Nk, 1024).
     """
+    if fused_attention is None:
+        # default the fused set-attention kernel on for real accelerator
+        # serving; CPU (tests/debug) keeps the dense path — the kernel
+        # only runs in slow interpret mode there (parity is pinned by
+        # tests/test_mega_fused_attention.py)
+        fused_attention = jax.default_backend() != "cpu"
     t_total = len(images)
     chunk = max(1, min(chunk, t_total))
     run = _precompute_chunk_jit(det, key_post_nms, chunk, compute_dtype)
@@ -336,7 +355,8 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
         glob_idx = global_indices(t_total, min(det.global_size, t_total),
                                   seed=seed)
     visual = stream_video(
-        make_mega_head(det, fused_pe_bias=fused_pe_bias),
+        make_mega_head(det, fused_pe_bias=fused_pe_bias,
+                       fused_attention=fused_attention),
         {"params": params["params"]["mega"]},
         key_feat=kf, key_rois=kb, key_valid=kv, key_is_fc0=True,
         ref_feat=rf, ref_rois=rb, ref_valid=rv,

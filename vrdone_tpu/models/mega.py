@@ -153,6 +153,12 @@ class MEGAHead(nn.Module):
     # (N, M, embed_dim) embedding in HBM. Forward-only (no VJP) — keep
     # False for training; parameter tree is identical either way.
     fused_pe_bias: bool = False
+    # serving-only: run the WHOLE grouped attention (scores + u-term +
+    # geometric bias + online softmax + value average) as one pallas
+    # kernel (ops/pallas/mega_attention.py) — no (g, N, M) score or bias
+    # tensor in HBM. Forward-only; supersedes fused_pe_bias when set.
+    # Parameter tree identical either way.
+    fused_attention: bool = False
 
     def setup(self):
         fd, g = self.feat_dim, self.groups
@@ -201,6 +207,29 @@ class MEGAHead(nn.Module):
 
         q = Wq(roi_feat).reshape(-1, g, dg).transpose(1, 0, 2)   # (g, N, dg)
         k = Wk(ref.feat).reshape(-1, g, dg).transpose(1, 0, 2)   # (g, M, dg)
+
+        if self.fused_attention and not self.is_initializing():
+            from vrdone_tpu.ops.pallas.mega_attention import (
+                fused_mega_attention)
+            wv_p = Wv.variables["params"]
+            # value projection first (reassociated order, GroupedLinear
+            # docstring): one (M, D) @ (D, D) MXU pass outside the kernel
+            vproj = jnp.einsum("md,gdo->gmo", ref.feat,
+                               wv_p["kernel"].astype(ref.feat.dtype))
+            ub = jnp.einsum("gd,gmd->gm", u, k) / np.sqrt(dg)
+            interp = jax.default_backend() == "cpu"
+            if ver != "global":
+                wg_p = self.l_Wgs[index].variables["params"]
+                out = fused_mega_attention(
+                    q, k, vproj, ub, ref.valid, rois, ref.rois,
+                    wg_p["kernel"].astype(jnp.float32),
+                    wg_p["bias"].astype(jnp.float32),
+                    embed_dim=self.embed_dim, interpret=interp)
+            else:
+                out = fused_mega_attention(q, k, vproj, ub, ref.valid,
+                                           interpret=interp)
+            return out + wv_p["bias"].astype(out.dtype)          # (N, D)
+
         aff = jnp.einsum("gnd,gmd->gnm", q, k)                   # content
         aff_c = jnp.einsum("gd,gmd->gm", u, k)                   # u @ k^T
         aff = (aff + aff_c[:, None, :]) / np.sqrt(dg)
@@ -233,7 +262,16 @@ class MEGAHead(nn.Module):
         # all-invalid reference set -> zero output, not a uniform average
         # over padding
         att = att * ref.valid[None, None, :].astype(att.dtype)
-        # raw (unprojected) reference features as values (reference :613)
+        # raw (unprojected) reference features as values (reference :613);
+        # apply Wv in whichever association order is statically cheaper
+        # (GroupedLinear docstring) — identical math either way
+        n, m = att.shape[1], att.shape[2]
+        d = ref.feat.shape[-1]
+        dg = self.feat_dim // g
+        reassoc_cost = m * d * self.feat_dim + g * n * m * dg
+        legacy_cost = g * n * m * d + n * d * self.feat_dim
+        if reassoc_cost < legacy_cost:
+            return Wv(att=att, values=ref.feat)                  # (N, D)
         out = jnp.einsum("gnm,md->gnd", att, ref.feat)           # (g,N,D)
         return Wv(out)                                           # (N, D)
 
@@ -393,19 +431,44 @@ class MEGAHead(nn.Module):
 class GroupedLinear(nn.Module):
     """The grouped 1x1-conv output projection Wv (reference :521, :552):
     group g's attention output (D-dim, raw value features) maps to the
-    g-th (D/groups)-slice of the output."""
+    g-th (D/groups)-slice of the output.
+
+    Two mathematically identical application orders (associativity of
+    att @ V @ W_g), chosen by static FLOP count at trace time:
+
+      legacy   concat_g[(att_g @ V) @ W_g]   cost g*N*M*D + g*N*D*dg
+      reassoc  concat_g[att_g @ (V @ W_g)]   cost M*D*(g*dg) + g*N*M*dg
+
+    At the serving shapes (N=675 queries, M=3750 refs, g=16, D=1024) the
+    reassociated order is ~6x fewer FLOPs — the (g, N, M) @ (M, 1024)
+    value einsum was the single largest FLOP source of the streaming
+    step. The reference hard-codes the legacy order
+    (attention_module_multi_head :613-646); results are equal up to
+    matmul re-association rounding."""
     feat_dim: int
     groups: int
 
     @nn.compact
-    def __call__(self, per_group: Array) -> Array:
-        """per_group: (groups, N, D) -> (N, D)."""
-        g, _, d = per_group.shape
+    def __call__(self, per_group: Array | None = None, *,
+                 att: Array | None = None,
+                 values: Array | None = None) -> Array:
+        """Either per_group: (groups, N, D) -> (N, D)   [legacy order]
+        or att: (groups, N, M) + values: (M, D) -> (N, D), applying the
+        value projection before the attention average."""
+        if per_group is not None:
+            g, _, d = per_group.shape
+        else:
+            g = att.shape[0]
+            d = values.shape[-1]
         dg = self.feat_dim // self.groups
         w = self.param("kernel", nn.initializers.normal(0.01),
                        (g, d, dg))
         b = self.param("bias", nn.initializers.zeros, (self.feat_dim,))
-        out = jnp.einsum("gnd,gdo->ngo", per_group, w)
+        if per_group is not None:
+            out = jnp.einsum("gnd,gdo->ngo", per_group, w)
+        else:
+            vproj = jnp.einsum("md,gdo->gmo", values, w)   # (g, M, dg)
+            out = jnp.einsum("gnm,gmo->ngo", att, vproj)
         return out.reshape(-1, self.feat_dim) + b
 
 

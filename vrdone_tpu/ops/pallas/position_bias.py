@@ -46,12 +46,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
-def _bias_kernel(q_ref, kt_ref, a_ref, bt_ref, wt_ref, b_ref, o_ref, *,
-                 freqs, groups):
-    q = q_ref[...]                                   # (bn, 4)
+def bias_tile(q, kt, a, bt, wt, b, *, freqs, groups):
+    """Compute one (groups, bn, bm) fused-position-bias tile from VMEM
+    operands: q (bn, 4) rois, kt (4, bm) transposed rois, a (groups, bn,
+    sep_dim) / bt (sep_dim, bm) separable dw/dh factors, wt (groups, 32)
+    transposed dx/dy Wg columns, b (1, groups) Wg bias. Shared by the
+    standalone bias kernel below and the fused attention kernel
+    (ops/pallas/mega_attention.py)."""
     qx1, qy1, qx2, qy2 = (q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4])
-    kx1, ky1, kx2, ky2 = (kt_ref[0:1, :], kt_ref[1:2, :],
-                          kt_ref[2:3, :], kt_ref[3:4, :])
+    kx1, ky1, kx2, ky2 = (kt[0:1, :], kt[1:2, :], kt[2:3, :], kt[3:4, :])
     qw = qx2 - qx1 + 1.0
     qh = qy2 - qy1 + 1.0
     qcx = 0.5 * (qx1 + qx2)
@@ -60,7 +63,7 @@ def _bias_kernel(q_ref, kt_ref, a_ref, bt_ref, wt_ref, b_ref, o_ref, *,
     kcy = 0.5 * (ky1 + ky2)
 
     # (bn, 1) x (1, bm) -> (bn, bm) log-space geometry (position_matrix),
-    # pairwise features only — dw/dh arrive pre-factored via a_ref/bt_ref.
+    # pairwise features only — dw/dh arrive pre-factored via a/bt.
     dx = jnp.log(jnp.abs((qcx - kcx) / qw) + 1e-3)
     dy = jnp.log(jnp.abs((qcy - kcy) / qh) + 1e-3)
 
@@ -72,19 +75,25 @@ def _bias_kernel(q_ref, kt_ref, a_ref, bt_ref, wt_ref, b_ref, o_ref, *,
     parts = []
     for pos in (dx, dy):
         angs = [pos * c for c in freqs]
-        parts.extend(jnp.sin(a) for a in angs)
-        parts.extend(jnp.cos(a) for a in angs)
+        parts.extend(jnp.sin(ang) for ang in angs)
+        parts.extend(jnp.cos(ang) for ang in angs)
     pe_t = jnp.stack(parts, axis=0).reshape(-1, bn * bm)
 
-    wg = jnp.dot(wt_ref[...], pe_t,
+    wg = jnp.dot(wt, pe_t,
                  preferred_element_type=jnp.float32)        # (g, bn*bm)
-    wg = wg + b_ref[...].reshape(groups, 1)                 # bias in 2-D
+    wg = wg + b.reshape(groups, 1)                          # bias in 2-D
     # separable dw/dh half: (g*bn, 32) @ (32, bm) on the MXU
-    a = a_ref[...].reshape(groups * bn, -1)
-    sep = jnp.dot(a, bt_ref[...],
+    sep = jnp.dot(a.reshape(groups * bn, -1), bt,
                   preferred_element_type=jnp.float32)       # (g*bn, bm)
     wg = wg.reshape(groups, bn, bm) + sep.reshape(groups, bn, bm)
-    o_ref[...] = jnp.log(jnp.maximum(wg, 0.0) + 1e-6)
+    return jnp.log(jnp.maximum(wg, 0.0) + 1e-6)
+
+
+def _bias_kernel(q_ref, kt_ref, a_ref, bt_ref, wt_ref, b_ref, o_ref, *,
+                 freqs, groups):
+    o_ref[...] = bias_tile(q_ref[...], kt_ref[...], a_ref[...], bt_ref[...],
+                           wt_ref[...], b_ref[...], freqs=freqs,
+                           groups=groups)
 
 
 def _log_wh(rois):
@@ -93,38 +102,24 @@ def _log_wh(rois):
     return jnp.log(w), jnp.log(h)
 
 
-@functools.partial(jax.jit, static_argnames=("embed_dim", "block_n",
-                                             "block_m", "interpret"))
-def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
-                        embed_dim: int = 64, wave_length: float = 1000.0,
-                        block_n: int = 128, block_m: int = 256,
-                        interpret: bool = False):
-    """(N, 4) x (M, 4) rois + Dense l_Wg params -> (groups, N, M) bias.
+def pe_setup(q, k, wg_kernel, embed_dim: int, wave_length: float):
+    """Padded fp32 rois q (Np, 4) / k (Mp, 4) + l_Wg kernel -> the
+    tile-invariant kernel operands: (freqs tuple, A (g, Np, 32),
+    B_t (32, Mp), wt (g, 32)).
 
-    == log(relu(pe @ wg_kernel + wg_bias) + 1e-6).transpose(2, 0, 1)
-    with pe = cal_position_embedding(q_rois, k_rois, embed_dim).
+    Separable dw/dh factors (per-roi transcendentals, O(N+M)):
+    pe feature layout: [dx 0:16 | dy 16:32 | dw 32:48 | dh 48:64] with
+    sin first then cos inside each 16. For frequency j:
+      pe[32+j] = sin(c_j dw), pe[40+j] = cos(c_j dw)   (dw = lqw - lkw)
+    Wg-fold through the angle-addition identities:
+      sum_j ws_j sin(c_j dw) + wc_j cos(c_j dw)
+        = sum_j [ws_j sq_j + wc_j cq_j] ck_j + [wc_j sq_j - ws_j cq_j] sk_j
     """
-    n, m = q_rois.shape[0], k_rois.shape[0]
-    groups = wg_kernel.shape[1]
-    n_pad = -n % block_n
-    m_pad = -m % block_m
-    q = jnp.pad(q_rois.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    k = jnp.pad(k_rois.astype(jnp.float32), ((0, m_pad), (0, 0)))
-    k_t = k.T
-    npad, mpad = n + n_pad, m + m_pad
-
     n_freq = embed_dim // 8
     dim_mat = wave_length ** (8.0 / embed_dim * np.arange(n_freq))
     freqs_np = (100.0 / dim_mat).astype(np.float32)
     freqs = tuple(freqs_np.tolist())
 
-    # ---- separable dw/dh factors (per-roi transcendentals, O(N+M)) ----
-    # pe feature layout: [dx 0:16 | dy 16:32 | dw 32:48 | dh 48:64] with
-    # sin first then cos inside each 16. For frequency j:
-    #   pe[32+j] = sin(c_j dw), pe[40+j] = cos(c_j dw)   (dw = lqw - lkw)
-    # Wg-fold through the angle-addition identities:
-    #   sum_j ws_j sin(c_j dw) + wc_j cos(c_j dw)
-    #     = sum_j [ws_j sq_j + wc_j cq_j] ck_j + [wc_j sq_j - ws_j cq_j] sk_j
     W = wg_kernel.astype(jnp.float32)                        # (64, g)
     lqw, lqh = _log_wh(q)                                    # (Np,)
     lkw, lkh = _log_wh(k)                                    # (Mp,)
@@ -149,6 +144,30 @@ def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
     a1h, a2h = fold(W[48:56], W[56:64], sqh, cqh)
     A = jnp.concatenate([a1w, a2w, a1h, a2h], axis=-1)       # (g, Np, 32)
     B_t = jnp.concatenate([ckw, skw, ckh, skh], axis=-1).T   # (32, Mp)
+    return freqs, A, B_t, W[:32].T
+
+
+@functools.partial(jax.jit, static_argnames=("embed_dim", "block_n",
+                                             "block_m", "interpret"))
+def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
+                        embed_dim: int = 64, wave_length: float = 1000.0,
+                        block_n: int = 128, block_m: int = 256,
+                        interpret: bool = False):
+    """(N, 4) x (M, 4) rois + Dense l_Wg params -> (groups, N, M) bias.
+
+    == log(relu(pe @ wg_kernel + wg_bias) + 1e-6).transpose(2, 0, 1)
+    with pe = cal_position_embedding(q_rois, k_rois, embed_dim).
+    """
+    n, m = q_rois.shape[0], k_rois.shape[0]
+    groups = wg_kernel.shape[1]
+    n_pad = -n % block_n
+    m_pad = -m % block_m
+    q = jnp.pad(q_rois.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    k = jnp.pad(k_rois.astype(jnp.float32), ((0, m_pad), (0, 0)))
+    k_t = k.T
+    npad, mpad = n + n_pad, m + m_pad
+
+    freqs, A, B_t, wt = pe_setup(q, k, wg_kernel, embed_dim, wave_length)
     sep_dim = A.shape[-1]
 
     out = pl.pallas_call(
@@ -166,5 +185,5 @@ def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
                                lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((groups, npad, mpad), jnp.float32),
         interpret=interpret,
-    )(q, k_t, A, B_t, W[:32].T, wg_bias.astype(jnp.float32).reshape(1, groups))
+    )(q, k_t, A, B_t, wt, wg_bias.astype(jnp.float32).reshape(1, groups))
     return out[:, :n, :m]
