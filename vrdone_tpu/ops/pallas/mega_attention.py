@@ -26,6 +26,16 @@ Forward-only (no custom VJP): training keeps the dense composition.
 Padding rows/cols are hard-masked: invalid keys contribute exp(-inf)=0,
 and an all-invalid reference set produces a zero output row (parity
 with the dense path's post-softmax `att * valid`).
+
+Numerics (chip-measured 2026-08-21, f32 operands, serving shapes): the
+kernel lands 3.0e-3 max-rel from a float64 oracle vs the dense
+composition's 4.0e-3 — both are TPU f32 rounding-class (XLA's default
+f32 matmul runs bf16 passes), the kernel slightly closer. Whole-video
+outputs of the two paths still diverge under RANDOM-init weights
+because the untrained MEGA softmax saturates (near-argmax), so any
+rounding difference flips near-ties; the reference's own bf16 variants
+show the same and their video-level tests check finiteness only
+(tests/test_method_bf16.py).
 """
 
 from __future__ import annotations
@@ -104,7 +114,7 @@ def _attn_kernel(q_ref, k_ref, vp_ref, ub_ref, valid_ref, *refs,
 def fused_mega_attention(q, k, vproj, ub, valid, q_rois=None, k_rois=None,
                          wg_kernel=None, wg_bias=None, *,
                          embed_dim: int = 64, wave_length: float = 1000.0,
-                         block_n: int = 128, block_m: int = 128,
+                         block_n: int | None = None, block_m: int = 128,
                          interpret: bool = False):
     """q (g, N, dg), k (g, M, dg), vproj (g, M, dgo) = V @ Wv_g,
     ub (g, M) = (u @ k^T)/sqrt(dg), valid (M,) bool.
@@ -118,6 +128,12 @@ def fused_mega_attention(q, k, vproj, ub, valid, q_rois=None, k_rois=None,
     m = k.shape[1]
     dgo = vproj.shape[-1]
     with_bias = q_rois is not None
+    if block_n is None:
+        # f32 operands double every VMEM tile; (128, 128) fits only in
+        # bf16 (f32 at the serving shape measured 16.64M vs the 16M
+        # scoped-vmem limit). n is the parallel grid dim, so shrinking
+        # block_n costs no extra sequential passes.
+        block_n = 128 if q.dtype == jnp.bfloat16 else 64
     n_pad = -n % block_n
     m_pad = -m % block_m
     npad, mpad = n + n_pad, m + m_pad

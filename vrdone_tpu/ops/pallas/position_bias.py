@@ -72,6 +72,9 @@ def bias_tile(q, kt, a, bt, wt, b, *, freqs, groups):
     # sin(pos_j * c_k), rows j*16+8+k are cos — matching the
     # position_embedding concat([sin, cos], -1).reshape layout.
     # freqs are python floats (baked into the program, not operands).
+    # (A direct per-(group, feature) FMA accumulation — skipping this
+    # stack in favour of (g,1,1)-broadcast multiplies — fails to lower:
+    # Mosaic rejects the 1x16 -> 16x1x1 shape cast; chip-tested 2026-08-21.)
     parts = []
     for pos in (dx, dy):
         angs = [pos * c for c in freqs]
