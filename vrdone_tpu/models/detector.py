@@ -293,18 +293,24 @@ def _precompute_chunk_jit(det: MegaDetector, key_post_nms: int, chunk: int,
 
 @functools.lru_cache(maxsize=None)
 def _predict_jit(det: MegaDetector):
-    # only the two prediction Denses ride the dispatch: handing the full
+    # only the box_head subtree rides the dispatch: handing the full
     # ~500-leaf detector tree to a per-video jit call costs ~25 ms of
     # host-side buffer marshalling over a remote-device tunnel (DEVNOTES
-    # "Tunnel degradation") for a program that reads 4 of the leaves
+    # "Tunnel degradation") for a program that reads 4 of the leaves.
+    # Still goes through the module (flax only resolves the params that
+    # predictions() actually touches), so the predictor math has one
+    # source of truth.
     @jax.jit
-    def predict(cls_p, bbox_p, v):
-        return (v @ cls_p["kernel"] + cls_p["bias"],
-                v @ bbox_p["kernel"] + bbox_p["bias"])
+    def predict(bh_params, v):
+        return det.apply({"params": {"box_head": bh_params}}, v,
+                         method=lambda m, x: m.box_head.predictions(x))
 
     def run(params, v):
         bh = params["params"]["box_head"]
-        return predict(bh["cls_score"], bh["bbox_pred"], v)
+        # only the two Denses predictions() touches — the c5 subtree
+        # would be ~40 more leaves of per-dispatch marshalling
+        return predict({"cls_score": bh["cls_score"],
+                        "bbox_pred": bh["bbox_pred"]}, v)
 
     return run
 
@@ -328,11 +334,12 @@ def detect_video(det: MegaDetector, params, images, image_hw, *,
     visual (T, Nk, 1024).
     """
     if fused_attention is None:
-        # default the fused set-attention kernel on for real accelerator
-        # serving; CPU (tests/debug) keeps the dense path — the kernel
-        # only runs in slow interpret mode there (parity is pinned by
-        # tests/test_mega_fused_attention.py)
-        fused_attention = jax.default_backend() != "cpu"
+        # default the fused set-attention kernel on for TPU serving
+        # (axon = the remote-TPU PJRT plugin); CPU keeps the dense path
+        # (the kernel only runs in slow interpret mode there; parity is
+        # pinned by tests/test_mega_fused_attention.py) and so does any
+        # other backend (the kernel lowers via Mosaic TPU only)
+        fused_attention = jax.default_backend() in ("tpu", "axon")
     t_total = len(images)
     chunk = max(1, min(chunk, t_total))
     run = _precompute_chunk_jit(det, key_post_nms, chunk, compute_dtype)

@@ -211,11 +211,9 @@ class MEGAHead(nn.Module):
         if self.fused_attention and not self.is_initializing():
             from vrdone_tpu.ops.pallas.mega_attention import (
                 fused_mega_attention)
-            wv_p = Wv.variables["params"]
             # value projection first (reassociated order, GroupedLinear
             # docstring): one (M, D) @ (D, D) MXU pass outside the kernel
-            vproj = jnp.einsum("md,gdo->gmo", ref.feat,
-                               wv_p["kernel"].astype(ref.feat.dtype))
+            vproj = Wv.project_values(ref.feat)
             ub = jnp.einsum("gd,gmd->gm", u, k) / np.sqrt(dg)
             interp = jax.default_backend() == "cpu"
             if ver != "global":
@@ -228,7 +226,7 @@ class MEGAHead(nn.Module):
             else:
                 out = fused_mega_attention(q, k, vproj, ub, ref.valid,
                                            interpret=interp)
-            return out + wv_p["bias"].astype(out.dtype)          # (N, D)
+            return out + Wv.output_bias().astype(out.dtype)      # (N, D)
 
         aff = jnp.einsum("gnd,gmd->gnm", q, k)                   # content
         aff_c = jnp.einsum("gd,gmd->gm", u, k)                   # u @ k^T
@@ -447,8 +445,26 @@ class GroupedLinear(nn.Module):
     matmul re-association rounding."""
     feat_dim: int
     groups: int
+    in_dim: int | None = None   # value feature dim; defaults to feat_dim
 
-    @nn.compact
+    def setup(self):
+        d = self.in_dim if self.in_dim is not None else self.feat_dim
+        dg = self.feat_dim // self.groups
+        self.kernel = self.param("kernel", nn.initializers.normal(0.01),
+                                 (self.groups, d, dg))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.feat_dim,))
+
+    def project_values(self, values: Array) -> Array:
+        """(M, D) raw value features -> (groups, M, dg) pre-projected
+        values for the reassociated order (also consumed by the fused
+        attention kernel, ops/pallas/mega_attention.py)."""
+        return jnp.einsum("md,gdo->gmo", values,
+                          self.kernel.astype(values.dtype))
+
+    def output_bias(self) -> Array:
+        return self.bias
+
     def __call__(self, per_group: Array | None = None, *,
                  att: Array | None = None,
                  values: Array | None = None) -> Array:
@@ -456,20 +472,11 @@ class GroupedLinear(nn.Module):
         or att: (groups, N, M) + values: (M, D) -> (N, D), applying the
         value projection before the attention average."""
         if per_group is not None:
-            g, _, d = per_group.shape
+            out = jnp.einsum("gnd,gdo->ngo", per_group, self.kernel)
         else:
-            g = att.shape[0]
-            d = values.shape[-1]
-        dg = self.feat_dim // self.groups
-        w = self.param("kernel", nn.initializers.normal(0.01),
-                       (g, d, dg))
-        b = self.param("bias", nn.initializers.zeros, (self.feat_dim,))
-        if per_group is not None:
-            out = jnp.einsum("gnd,gdo->ngo", per_group, w)
-        else:
-            vproj = jnp.einsum("md,gdo->gmo", values, w)   # (g, M, dg)
-            out = jnp.einsum("gnm,gmo->ngo", att, vproj)
-        return out.reshape(-1, self.feat_dim) + b
+            out = jnp.einsum("gnm,gmo->ngo", att,
+                             self.project_values(values))
+        return out.reshape(-1, self.feat_dim) + self.bias
 
 
 # ---------------------------------------------------------------------------

@@ -91,7 +91,7 @@ def _attn_kernel(q_ref, k_ref, vp_ref, ub_ref, valid_ref, *refs,
     # all keys so far invalid -> m_new = -inf; exp against 0 instead to
     # keep alpha/p finite (their contributions are exactly 0)
     m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
-    alpha = jnp.exp(jnp.maximum(m_prev, NEG_INF) - m_safe)
+    alpha = jnp.exp(m_prev - m_safe)
     p = jnp.exp(s - m_safe) * valid[None]            # (g, bn, bm)
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
     m_ref[...] = m_new

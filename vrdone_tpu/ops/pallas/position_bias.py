@@ -150,8 +150,9 @@ def pe_setup(q, k, wg_kernel, embed_dim: int, wave_length: float):
     return freqs, A, B_t, W[:32].T
 
 
-@functools.partial(jax.jit, static_argnames=("embed_dim", "block_n",
-                                             "block_m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("embed_dim", "wave_length",
+                                             "block_n", "block_m",
+                                             "interpret"))
 def fused_position_bias(q_rois, k_rois, wg_kernel, wg_bias, *,
                         embed_dim: int = 64, wave_length: float = 1000.0,
                         block_n: int = 128, block_m: int = 256,
