@@ -72,6 +72,24 @@ def test_kernel_vs_dense(with_bias, n, m):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_kernel_bf16_operands():
+    """The production serving dtype: bf16 q/k/vproj, fp32 softmax inside."""
+    rng = np.random.default_rng(3)
+    g, n, m, dg = 4, 32, 64, 16
+    q = jnp.asarray(rng.standard_normal((g, n, dg)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((g, m, dg)), jnp.bfloat16)
+    vproj = jnp.asarray(rng.standard_normal((g, m, dg)), jnp.bfloat16)
+    ub = jnp.asarray(rng.standard_normal((g, m)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=m) > 0.3)
+    got = fused_mega_attention(q, k, vproj, ub, valid,
+                               block_n=16, block_m=32, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = _dense_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                            vproj.astype(jnp.float32), ub, valid)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
 def test_all_invalid_rows_are_zero():
     rng = np.random.default_rng(1)
     g, n, m, dg = 2, 8, 24, 8
